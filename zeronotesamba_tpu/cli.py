@@ -1,0 +1,275 @@
+"""Command-line interface (the reference had none — every entry point was an
+``if __name__ == '__main__'`` reading a hand-edited YAML).
+
+    python -m zeronotesamba_tpu <command> [...]
+
+Commands:
+    build-data   ETL a dataset directory into an npz record cache
+    beat         8-fold CV beat-tracking experiment on a cached dataset
+    cross        cross-dataset experiment (train X, test Y)
+    few-shot     training-set size sweep
+    pretext      self-supervised contrastive pretraining
+    old-school   Ellis DP baseline on raw audio
+    measures     embedding information measures over a dataset
+    infer        one file -> pulse + beats
+    bench        single-chip throughput benchmark (also: python bench.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--config", default=None, help="reference-format YAML config")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser("zeronotesamba_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-data", help="ETL dataset -> npz cache")
+    b.add_argument("dataset", choices=["ballroom", "gtzan", "hainsworth", "smc", "synthetic"])
+    b.add_argument("--root", required=False, help="dataset root directory")
+    b.add_argument("--out", required=True, help="output cache directory")
+    b.add_argument("--separation", default="none", choices=["none", "hpss", "stems", "mix"])
+    b.add_argument("--n-songs", type=int, default=16, help="synthetic only")
+
+    t = sub.add_parser("beat", help="8-fold CV beat experiment")
+    t.add_argument("--data", required=True, help="npz cache directory")
+    t.add_argument("--status", default="vanilla", choices=["vanilla", "pretrained", "clmr"])
+    t.add_argument("--pre", default="finetune", choices=["finetune", "frozen", "validation"])
+    t.add_argument("--lr", type=float, default=1e-5)
+    t.add_argument("--eval", default="dbn", choices=["dbn", "librosa", "threshold"])
+    t.add_argument("--max-epochs", type=int, default=500)
+    t.add_argument("--patience", type=int, default=20)
+    t.add_argument("--batch-size", type=int, default=8)
+    t.add_argument("--folds", type=int, default=8)
+    t.add_argument("--params", default=None, help="pretrained params checkpoint")
+    t.add_argument("--out", default=None, help="write results JSON here")
+    _add_common(t)
+
+    c = sub.add_parser("cross", help="cross-dataset experiment")
+    c.add_argument("--train-data", required=True)
+    c.add_argument("--test-data", required=True)
+    for a in (("--status", "vanilla"), ("--pre", "finetune")):
+        c.add_argument(a[0], default=a[1])
+    c.add_argument("--lr", type=float, default=1e-5)
+    c.add_argument("--eval", default="dbn")
+    c.add_argument("--max-epochs", type=int, default=500)
+    c.add_argument("--patience", type=int, default=20)
+    c.add_argument("--batch-size", type=int, default=8)
+    c.add_argument("--params", default=None)
+    c.add_argument("--out", default=None)
+    _add_common(c)
+
+    f = sub.add_parser("few-shot", help="training-set size sweep")
+    f.add_argument("--data", required=True)
+    f.add_argument("--status", default="vanilla")
+    f.add_argument("--pre", default="finetune")
+    f.add_argument("--lr", type=float, default=1e-5)
+    f.add_argument("--sizes", default="1,2,4,8,16")
+    f.add_argument("--repeats", type=int, default=3)
+    f.add_argument("--max-epochs", type=int, default=100)
+    f.add_argument("--patience", type=int, default=10)
+    f.add_argument("--batch-size", type=int, default=8)
+    f.add_argument("--params", default=None)
+    f.add_argument("--out", default=None)
+    _add_common(f)
+
+    pt = sub.add_parser("pretext", help="contrastive pretraining")
+    pt.add_argument("--stem-root", default=None, help="new_data/-style stem dir")
+    pt.add_argument("--bank", default=None, help="prebuilt .npz bank (train_bank/val_bank arrays)")
+    pt.add_argument("--task", default="zerons", choices=["zerons", "clmr"])
+    pt.add_argument("--epochs", type=int, default=250)
+    pt.add_argument("--batch-size", type=int, default=16)
+    pt.add_argument("--checkpoint", default="models/shift_pret_cnn_16", help="best-val params path")
+    pt.add_argument("--data-parallel", action="store_true", help="shard batches over all devices")
+    _add_common(pt)
+
+    o = sub.add_parser("old-school", help="Ellis DP baseline on raw audio")
+    o.add_argument("--data", required=True, help="npz cache (uses stored beat times)")
+    o.add_argument("--audio-root", required=True, help="directory of wavs")
+
+    m = sub.add_parser("measures", help="embedding information measures")
+    m.add_argument("--data", required=True)
+    m.add_argument("--status", default="van", help="reference meastatus label")
+    m.add_argument("--params", default=None)
+    m.add_argument("--out", default="results/measures")
+
+    i = sub.add_parser("infer", help="track one audio file")
+    i.add_argument("audio", help="wav file")
+    i.add_argument("--params", default=None)
+    i.add_argument("--separation", default="hpss", choices=["hpss", "stems", "mix"])
+    i.add_argument("--decoder", default="dbn", choices=["dbn", "librosa", "threshold"])
+    i.add_argument("--out", default=None, help="write JSON result here")
+
+    return ap
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if args.cmd == "build-data":
+        from zeronotesamba_tpu.data.datasets import BUILDERS, build_synthetic
+
+        if args.dataset == "synthetic":
+            ds = build_synthetic(n_songs=args.n_songs)
+        else:
+            if not args.root:
+                raise SystemExit("--root required for real datasets")
+            ds = BUILDERS[args.dataset](args.root, separation=args.separation)
+        ds.save(args.out)
+        print(f"saved {len(ds)} songs to {args.out}")
+
+    elif args.cmd == "beat":
+        from zeronotesamba_tpu.data.datasets import BeatDataset
+        from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig, run_beat_experiment, summarize
+
+        ds = BeatDataset.load(args.data)
+        cfg = BeatExperimentConfig(
+            status=args.status, pre=args.pre, lr=args.lr, eval_method=args.eval,
+            n_folds=args.folds, max_epochs=args.max_epochs, patience=args.patience,
+            batch_size=args.batch_size, seed=args.seed,
+        )
+        params = _load_params(args.params)
+        results = run_beat_experiment(ds, cfg, init_params=params)
+        _dump(args.out, summarize(results))
+
+    elif args.cmd == "cross":
+        from zeronotesamba_tpu.data.datasets import BeatDataset
+        from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig, summarize
+        from zeronotesamba_tpu.experiments.cross import run_cross_experiment
+
+        cfg = BeatExperimentConfig(
+            status=args.status, pre=args.pre, lr=args.lr, eval_method=args.eval,
+            max_epochs=args.max_epochs, patience=args.patience, batch_size=args.batch_size, seed=args.seed,
+        )
+        results = run_cross_experiment(
+            BeatDataset.load(args.train_data), BeatDataset.load(args.test_data), cfg,
+            init_params=_load_params(args.params),
+        )
+        _dump(args.out, summarize(results))
+
+    elif args.cmd == "few-shot":
+        from zeronotesamba_tpu.data.datasets import BeatDataset
+        from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig
+        from zeronotesamba_tpu.experiments.few_shot import run_few_shot
+
+        cfg = BeatExperimentConfig(
+            status=args.status, pre=args.pre, lr=args.lr, max_epochs=args.max_epochs,
+            patience=args.patience, batch_size=args.batch_size, seed=args.seed,
+        )
+        sizes = [int(s) for s in args.sizes.split(",")]
+        res = run_few_shot(BeatDataset.load(args.data), cfg, train_sizes=sizes, repeats=args.repeats,
+                           init_params=_load_params(args.params))
+        _dump(args.out, {str(k): v for k, v in res.items()})
+
+    elif args.cmd == "pretext":
+        from zeronotesamba_tpu.experiments.pretext_driver import (
+            PretextRunConfig, build_bank_from_stem_root, train_pretext,
+        )
+
+        if args.bank:
+            with np.load(args.bank) as z:
+                train_bank, val_bank = z["train_bank"], z["val_bank"]
+        elif args.stem_root:
+            bank = build_bank_from_stem_root(args.stem_root, n_samples=10**9, seed=args.seed)
+            n_val = max(1, len(bank) // 10)
+            val_bank, train_bank = bank[:n_val], bank[n_val:]
+        else:
+            raise SystemExit("need --bank or --stem-root")
+        mesh = None
+        if args.data_parallel:
+            from zeronotesamba_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(time=1)
+        cfg = PretextRunConfig(task=args.task, num_epochs=args.epochs, batch_size=args.batch_size,
+                               seed=args.seed, checkpoint_path=args.checkpoint)
+        train_pretext(train_bank, val_bank, cfg, mesh=mesh)
+
+    elif args.cmd == "old-school":
+        import os
+
+        from zeronotesamba_tpu.data import audio_io
+        from zeronotesamba_tpu.data.datasets import BeatDataset
+        from zeronotesamba_tpu.decode.ellis import beat_track_signal
+        from zeronotesamba_tpu.metrics.beat import evaluate_beats
+
+        ds = BeatDataset.load(args.data)
+        all_scores = []
+        for rec in ds:
+            wav = os.path.join(args.audio_root, rec.name)
+            if not os.path.exists(wav):
+                continue
+            sig, _ = audio_io.load_audio(wav, target_sr=16000)
+            est = beat_track_signal(sig)
+            all_scores.append(evaluate_beats(rec.beat_times, est))
+        if not all_scores:
+            raise SystemExit(f"no audio files from {args.data} found under {args.audio_root}")
+        arr = np.asarray(all_scores)
+        for i, n in enumerate(["F1", "CMLc", "CMLt", "AMLc", "AMLt", "InfoGain"]):
+            print(f"Mean {n} is {arr[:, i].mean():.3f} +- {arr[:, i].std():.3f}.")
+
+    elif args.cmd == "measures":
+        import jax
+
+        import jax.numpy as jnp
+
+        from zeronotesamba_tpu.data.datasets import BeatDataset
+        from zeronotesamba_tpu.experiments.measures import embedding_measures, quantile_table, write_measures_report
+        from zeronotesamba_tpu.train.supervised import StagedDataset, SupervisedConfig, eval_step, init_state
+
+        ds = BeatDataset.load(args.data)
+        status = "pretrained" if ds[0].vqt.shape[0] == 2 else "vanilla"
+        cfg = SupervisedConfig(status=status)
+        state = init_state(cfg, ds[0], jax.random.PRNGKey(0), params=_load_params(args.params))
+        staged = StagedDataset(ds.records, cfg.bucket_frames)
+        rows = []
+        for t, idx in staged.plan(ds.names, cfg.batch_size):
+            bucket = staged.buckets[t]
+            sel = jnp.asarray(idx)
+            _, out = eval_step(state, jnp.take(bucket.vqt, sel, axis=0),
+                               jnp.take(bucket.pulse, sel, axis=0),
+                               jnp.take(bucket.mask, sel, axis=0), status)
+            out = np.asarray(out)
+            for b, row in enumerate(idx):
+                rows.append(embedding_measures(out[b, : bucket.n_frames[row]]))
+        table = quantile_table(rows)
+        write_measures_report(table, args.out, args.status)
+        print(json.dumps(table, indent=2))
+
+    elif args.cmd == "infer":
+        from zeronotesamba_tpu.infer import BeatTracker
+
+        tracker = BeatTracker(params=_load_params(args.params))
+        res = tracker.track_file(args.audio, separation=args.separation, decoder=args.decoder)
+        payload = {
+            "n_frames": int(res.fused_pulse.shape[0]),
+            "beat_times": [float(t) for t in (res.beat_times if res.beat_times is not None else [])],
+        }
+        print(json.dumps(payload))
+        _dump(args.out, payload)
+
+
+def _load_params(path):
+    if not path:
+        return None
+    from zeronotesamba_tpu.train.checkpoint import load_params
+
+    return load_params(path)
+
+
+def _dump(path, obj):
+    if path:
+        with open(path, "w") as fh:
+            json.dump(obj, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()

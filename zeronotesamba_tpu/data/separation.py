@@ -1,0 +1,57 @@
+"""Source-separation interface: stems-from-disk, built-in HPSS, or passthrough.
+
+The reference hardwires Spleeter (TensorFlow) for its percussive/rest split
+(processing/source_separation.py:8-32). Here separation is a pluggable
+boundary with three backends:
+
+- ``stems``: load pre-separated 4-stem WAVs from ``<stem_dir>/<track_id>/
+  {bass,drums,other,vocals}.wav`` (the reference's new_data/ layout,
+  pretext.py:113-126) — use this to consume Spleeter output produced offline;
+- ``hpss``: built-in TPU median-filter HPSS (ops/hpss.py), percussive stream
+  stands in for drums;
+- ``mix``: anchor = positive = mix (CLMR-style degenerate pair).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from zeronotesamba_tpu.data import audio_io
+from zeronotesamba_tpu.data.stems import fold_stems
+
+STEM_NAMES = ("bass", "drums", "other", "vocals")
+
+
+def load_stem_dir(track_dir: str, target_sr: int = 16000) -> Dict[str, np.ndarray]:
+    stems = {}
+    for name in STEM_NAMES:
+        path = os.path.join(track_dir, f"{name}.wav")
+        if os.path.exists(path):
+            sig, _ = audio_io.load_audio(path, target_sr=target_sr)
+            stems[name] = sig
+    if not stems:
+        raise FileNotFoundError(f"no stem wavs in {track_dir}")
+    n = min(len(s) for s in stems.values())
+    return {k: v[:n] for k, v in stems.items()}
+
+
+def separate(
+    signal: np.ndarray, sr: int, backend: str = "hpss", *, stem_dir: str | None = None
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (anchor, positive) streams for a mono signal."""
+    if backend == "stems":
+        if stem_dir is None:
+            raise ValueError("backend='stems' requires stem_dir")
+        return fold_stems(load_stem_dir(stem_dir, target_sr=sr))
+    if backend == "hpss":
+        from zeronotesamba_tpu.ops.hpss import hpss_host
+
+        harmonic, percussive = hpss_host(signal)
+        return harmonic, percussive
+    if backend == "mix":
+        sig = np.asarray(signal, dtype=np.float32)
+        return sig, sig.copy()
+    raise ValueError(f"unknown separation backend {backend!r} (stems|hpss|mix)")

@@ -1,0 +1,76 @@
+"""Few-shot beat tracking experiment (data_exp.py equivalent).
+
+Training-set size sweep with repeated seeded splits (reference
+data_exp.py:14-179): sizes [1,2,3,4,6,8,12,16,24,32,48,64,96], 10 repeats
+each, 6/8-1/8-1/8 splits shuffled with random.Random(16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random
+from typing import Dict, List, Sequence
+
+import jax
+import numpy as np
+
+from zeronotesamba_tpu.data.datasets import BeatDataset
+from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig
+from zeronotesamba_tpu.train.supervised import StagedDataset, SupervisedConfig, init_state, run_epoch
+from zeronotesamba_tpu.utils.logging import get_logger
+
+log = get_logger("experiments.few_shot")
+
+REFERENCE_TRAIN_SIZES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96)
+
+
+def run_few_shot(
+    ds: BeatDataset,
+    cfg: BeatExperimentConfig,
+    *,
+    train_sizes: Sequence[int] = REFERENCE_TRAIN_SIZES,
+    repeats: int = 10,
+    split_seed: int = 16,  # reference data_exp.py:47
+    init_params=None,
+) -> Dict[int, Dict[str, float]]:
+    sup_cfg = SupervisedConfig(
+        status=cfg.status, pre=cfg.pre, lr=cfg.lr, eval_method=cfg.eval_method,
+        batch_size=cfg.batch_size, bucket_frames=cfg.bucket_frames, dropout_seed=cfg.seed,
+    )
+    splitter = random.Random(split_seed)
+    names = list(ds.names)
+    n = len(names)
+    n_test = round(n / 8)
+    staged = StagedDataset(ds.records, cfg.bucket_frames)
+    results: Dict[int, Dict[str, float]] = {}
+
+    for size in train_sizes:
+        f1s = []
+        for rep in range(repeats):
+            order = list(names)
+            splitter.shuffle(order)
+            test_names = order[:n_test]
+            val_names = order[n_test : 2 * n_test]
+            pool = order[2 * n_test :]
+            train_names = pool[:size]
+
+            state = init_state(sup_cfg, ds[0], jax.random.PRNGKey(cfg.seed + rep), params=init_params)
+            val_plan = staged.plan(val_names, cfg.batch_size)
+            best_f1, best_params, stale = -1.0, state.params, 0
+            shuffle_rng = np.random.default_rng(split_seed * 31 + rep)
+            for epoch in range(cfg.max_epochs):
+                tp = staged.plan(train_names, cfg.batch_size, shuffle_rng)
+                state, _, _ = run_epoch(state, staged, tp, sup_cfg, train=True, epoch=epoch, score=False)
+                _, _, vm = run_epoch(state, staged, val_plan, sup_cfg, train=False, score=True)
+                if vm[0] > best_f1:
+                    best_f1, best_params, stale = float(vm[0]), jax.tree.map(lambda x: x.copy(), state.params), 0
+                else:
+                    stale += 1
+                if stale >= cfg.patience:
+                    break
+            test_plan = staged.plan(test_names, cfg.batch_size)
+            _, _, tm = run_epoch(state.replace(params=best_params), staged, test_plan, sup_cfg, train=False, score=True)
+            f1s.append(float(tm[0]))
+        results[size] = {"F1": float(np.mean(f1s)), "F1_std": float(np.std(f1s))}
+        log.info("few-shot size=%d: F1=%.3f +- %.3f", size, results[size]["F1"], results[size]["F1_std"])
+    return results

@@ -1,0 +1,157 @@
+"""Embedding information measures (reference measures.py equivalents).
+
+Sparsity/information statistics over per-frame embedding pulses
+(reference measures.py:119-182): L2/L1 ratio, Gini coefficient, kurtosis,
+Shannon entropy, approximate entropy, sample entropy, and the maximum
+autocorrelation in the 0.24-1.0 s lag window (the beat-periodicity band).
+Results are aggregated as quantile tables (0.1/0.25/0.5/0.75/0.9/mean) and
+written as CSV/JSON (openpyxl is unavailable; the xlsx appender of
+measures.py:33-116 is replaced by structured files).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+QUANTILES = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def l2_l1_ratio(x: np.ndarray) -> float:
+    l1 = np.abs(x).sum()
+    return float(np.sqrt((x**2).sum()) / l1) if l1 > 0 else 0.0
+
+
+def gini(x: np.ndarray) -> float:
+    """Gini sparsity coefficient (Hurley & Rickard 2009)."""
+    v = np.sort(np.abs(np.asarray(x, dtype=np.float64)))
+    n = v.size
+    total = v.sum()
+    if total == 0 or n == 0:
+        return 0.0
+    k = np.arange(1, n + 1)
+    return float(1.0 - 2.0 * np.sum(v / total * (n - k + 0.5) / n))
+
+
+def kurtosis(x: np.ndarray) -> float:
+    v = np.asarray(x, dtype=np.float64)
+    m = v.mean()
+    s2 = ((v - m) ** 2).mean()
+    if s2 == 0:
+        return 0.0
+    return float((((v - m) ** 4).mean()) / s2**2 - 3.0)
+
+
+def shannon_entropy(x: np.ndarray, bins: int = 100) -> float:
+    v = np.abs(np.asarray(x, dtype=np.float64))
+    if v.size == 0 or v.max() == 0:
+        return 0.0
+    hist, _ = np.histogram(v, bins=bins)
+    p = hist / hist.sum()
+    p = p[p > 0]
+    return float(-(p * np.log2(p)).sum())
+
+
+def _phi(x: np.ndarray, m: int, r: float, count_self: bool) -> float:
+    n = len(x)
+    if n <= m + 1:
+        return 0.0
+    emb = np.lib.stride_tricks.sliding_window_view(x, m)
+    d = np.max(np.abs(emb[:, None, :] - emb[None, :, :]), axis=-1)
+    if count_self:
+        c = (d <= r).mean(axis=1)
+        return float(np.log(np.maximum(c, 1e-12)).mean())
+    np.fill_diagonal(d, np.inf)
+    return float((d <= r).sum())
+
+
+def approximate_entropy(x: np.ndarray, m: int = 2, r_factor: float = 0.2) -> float:
+    v = np.asarray(x, dtype=np.float64)
+    if len(v) < m + 2:
+        return 0.0
+    r = r_factor * v.std()
+    return abs(_phi(v, m, r, True) - _phi(v, m + 1, r, True))
+
+
+def sample_entropy(x: np.ndarray, m: int = 2, r_factor: float = 0.2) -> float:
+    v = np.asarray(x, dtype=np.float64)
+    if len(v) < m + 2:
+        return 0.0
+    r = r_factor * v.std()
+    a = _phi(v, m + 1, r, False)
+    b = _phi(v, m, r, False)
+    if a == 0 or b == 0:
+        return 0.0
+    return float(-np.log(a / b))
+
+
+def max_beat_autocorrelation(x: np.ndarray, fps: float = 62.5, lag_lo_s: float = 0.24, lag_hi_s: float = 1.0) -> float:
+    """Max normalized autocorrelation within the tempo lag band
+    (reference measures.py:158-166)."""
+    v = np.asarray(x, dtype=np.float64)
+    v = v - v.mean()
+    denom = (v * v).sum()
+    if denom == 0:
+        return 0.0
+    n = len(v)
+    fft_n = int(2 ** np.ceil(np.log2(2 * n)))
+    spec = np.fft.rfft(v, fft_n)
+    ac = np.fft.irfft(spec * np.conj(spec), fft_n)[:n] / denom
+    lo = max(1, int(round(lag_lo_s * fps)))
+    hi = min(n - 1, int(round(lag_hi_s * fps)))
+    if hi <= lo:
+        return 0.0
+    return float(ac[lo : hi + 1].max())
+
+
+MEASURES = {
+    "l2_l1": l2_l1_ratio,
+    "gini": gini,
+    "kurtosis": kurtosis,
+    "shannon": shannon_entropy,
+    "app_entropy": approximate_entropy,
+    "samp_entropy": sample_entropy,
+    "max_acf": max_beat_autocorrelation,
+}
+
+
+def embedding_measures(pulse: np.ndarray, *, downsample_entropy: int = 4) -> Dict[str, float]:
+    """All measures for one per-frame pulse/embedding vector."""
+    out = {}
+    for name, fn in MEASURES.items():
+        if name in ("app_entropy", "samp_entropy"):
+            # O(T^2) measures run on a strided copy (reference used antropy
+            # on full vectors; 4x stride keeps tests fast with same trend).
+            out[name] = fn(pulse[::downsample_entropy])
+        else:
+            out[name] = fn(pulse)
+    return out
+
+
+def quantile_table(rows: Sequence[Dict[str, float]]) -> Dict[str, Dict[str, float]]:
+    """Per-measure quantiles + mean over a corpus of embedding measures."""
+    table: Dict[str, Dict[str, float]] = {}
+    for name in MEASURES:
+        vals = np.asarray([r[name] for r in rows], dtype=np.float64)
+        entry = {f"q{q}": float(np.quantile(vals, q)) for q in QUANTILES}
+        entry["mean"] = float(vals.mean())
+        table[name] = entry
+    return table
+
+
+def write_measures_report(table: Dict[str, Dict[str, float]], out_path: str, label: str):
+    """Write the quantile table as <out>.json and append to <out>.csv."""
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path + ".json", "w") as fh:
+        json.dump({"label": label, "table": table}, fh, indent=2)
+    new = not os.path.exists(out_path + ".csv")
+    with open(out_path + ".csv", "a", newline="") as fh:
+        w = csv.writer(fh)
+        if new:
+            w.writerow(["label", "measure"] + [f"q{q}" for q in QUANTILES] + ["mean"])
+        for name, entry in table.items():
+            w.writerow([label, name] + [entry[f"q{q}"] for q in QUANTILES] + [entry["mean"]])

@@ -1,0 +1,134 @@
+"""Self-supervised pretext experiment driver (pretext.py train_model equivalent).
+
+Orchestrates bank building and contrastive training with the reference's
+schedule shape (pretext.py:175-450): per epoch the train bank is shuffled and
+consumed in chunks, each track yielding one batch of ``batch_size`` random
+crops; validation shifts are FIXED at epoch 0 (pretext.py:284-292); the
+best-validation params are checkpointed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from zeronotesamba_tpu.train.checkpoint import save_params
+from zeronotesamba_tpu.train.pretext import (
+    PretextConfig,
+    crop_shifts,
+    init_pretext_state,
+    make_eval_step,
+    make_train_step,
+)
+from zeronotesamba_tpu.utils.logging import get_logger
+
+log = get_logger("experiments.pretext")
+
+
+@dataclasses.dataclass
+class PretextRunConfig:
+    task: str = "zerons"
+    num_epochs: int = 250
+    batch_size: int = 16
+    crop_frames: int = 313
+    temperature: float = 0.25
+    seed: int = 0
+    checkpoint_path: Optional[str] = None  # best-val params (reference
+    # models/shift_pret_cnn_16.pth equivalent)
+
+
+def build_bank_from_stem_root(
+    stem_root: str,
+    n_samples: int,
+    *,
+    clip_len_s: float = 10.0,
+    sample_rate: int = 16000,
+    lower_p: float = 0.3,
+    upper_p: float = 1.0,
+    seed: int = 0,
+    mode: str = "vqt",
+) -> np.ndarray:
+    """Mine (N, 2, 96, T) VQT pairs from a new_data/-style stem directory
+    (reference create_memory_bank, pretext.py:89-172)."""
+    import random
+
+    from zeronotesamba_tpu.data.separation import load_stem_dir
+    from zeronotesamba_tpu.data.stems import fold_stems, mine_pair
+    from zeronotesamba_tpu.ops.vqt import generate_xqt
+
+    rng = random.Random(seed)
+    track_ids = sorted(os.listdir(stem_root))
+    rng.shuffle(track_ids)
+    bank: List[np.ndarray] = []
+    for tid in track_ids:
+        if len(bank) >= n_samples:
+            break
+        tdir = os.path.join(stem_root, tid)
+        try:
+            stems = load_stem_dir(tdir, target_sr=sample_rate)
+            anchor, positive = fold_stems(stems)
+            if len(anchor) < clip_len_s * sample_rate + 2:
+                continue  # reference deletes <10 s tracks (pretext.py:120-124)
+            a, p = mine_pair(anchor, positive, clip_len_s=clip_len_s, sample_rate=sample_rate,
+                             lower_p=lower_p, upper_p=upper_p, rng=rng)
+            bank.append(np.stack([generate_xqt(a, sample_rate, mode), generate_xqt(p, sample_rate, mode)]))
+        except (FileNotFoundError, ValueError) as e:
+            log.warning("skipping %s: %s", tid, e)
+    return np.stack(bank).astype(np.float32)
+
+
+def fixed_val_shifts(val_bank: np.ndarray, cfg: PretextConfig, seed: int) -> np.ndarray:
+    """Pre-crop validation batches once (reference pretext.py:284-292)."""
+    rng = np.random.default_rng(seed)
+    return np.stack([crop_shifts(item, cfg.batch_size, cfg.crop_frames, rng) for item in val_bank])
+
+
+def train_pretext(
+    train_bank: np.ndarray,
+    val_bank: np.ndarray,
+    cfg: PretextRunConfig,
+    *,
+    mesh=None,
+) -> "tuple":
+    """Train; returns (best_params, history dict)."""
+    pcfg = PretextConfig(
+        task=cfg.task, batch_size=cfg.batch_size, crop_frames=cfg.crop_frames, temperature=cfg.temperature
+    )
+    state = init_pretext_state(pcfg, jax.random.PRNGKey(cfg.seed))
+    step = make_train_step(pcfg, mesh=mesh)
+    eval_step = make_eval_step(pcfg)
+    rng = np.random.default_rng(cfg.seed)
+    val_batches = fixed_val_shifts(val_bank, pcfg, cfg.seed)
+
+    best_val = np.inf
+    best_params = state.params
+    hist = {"train_loss": [], "val_loss": [], "train_pos": [], "train_neg": [], "val_pos": [], "val_neg": []}
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    for epoch in range(cfg.num_epochs):
+        order = rng.permutation(len(train_bank))
+        tr_losses, tr_pos, tr_neg = [], [], []
+        for i in order:
+            batch = crop_shifts(train_bank[i], pcfg.batch_size, pcfg.crop_frames, rng)
+            key, sub = jax.random.split(key)
+            state, loss, pc, nc = step(state, jax.numpy.asarray(batch), sub)
+            tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
+        va_losses, va_pos, va_neg = [], [], []
+        for vb in val_batches:
+            loss, pc, nc = eval_step(state, jax.numpy.asarray(vb))
+            va_losses.append(float(loss)); va_pos.append(float(pc)); va_neg.append(float(nc))
+        tr, va = float(np.mean(tr_losses)), float(np.mean(va_losses))
+        hist["train_loss"].append(tr); hist["val_loss"].append(va)
+        hist["train_pos"].append(float(np.mean(tr_pos))); hist["train_neg"].append(float(np.mean(tr_neg)))
+        hist["val_pos"].append(float(np.mean(va_pos))); hist["val_neg"].append(float(np.mean(va_neg)))
+        log.info("epoch %d: train=%.4f val=%.4f pos=%.3f neg=%.3f", epoch, tr, va,
+                 hist["val_pos"][-1], hist["val_neg"][-1])
+        if va < best_val:
+            best_val = va
+            best_params = jax.tree.map(lambda x: x.copy(), state.params)
+            if cfg.checkpoint_path:
+                save_params(cfg.checkpoint_path, best_params)
+    return best_params, hist

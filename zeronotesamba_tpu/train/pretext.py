@@ -1,0 +1,149 @@
+"""Self-supervised contrastive pretraining engine (data-sharded NT-Xent).
+
+TPU-first redesign of the reference's 2-GPU pretext loop
+(pretext.py:175-592): instead of pinning the anchor encoder to cuda:0 and the
+positive encoder to cuda:1, both encoders run on every device and the BATCH
+is sharded over the mesh's data axis; NT-Xent all-gathers the positives so
+every anchor sees the global negative set (losses/ntxent.py:ntxent_global).
+Gradients are psum-ed by shard_map — numerically identical to a one-device
+global-batch run (tests/test_ntxent.py::test_global_gradients_match).
+
+Batch semantics match the reference: one batch = ``batch_size`` random
+313-frame shifts of the SAME track (pretext.py:307-318), so the negatives are
+other time-offsets of the same audio.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from zeronotesamba_tpu.losses.ntxent import ntxent, ntxent_global
+from zeronotesamba_tpu.models.encoder import DSCNN, TwinPretext
+from zeronotesamba_tpu.train.state import TrainState, pretext_optimizer
+
+
+@dataclasses.dataclass
+class PretextConfig:
+    task: str = "zerons"  # zerons (twin encoders) | clmr (single encoder)
+    batch_size: int = 16
+    crop_frames: int = 313
+    temperature: float = 0.25
+    dropout_seed: int = 0
+    dropout_rate: float = 0.1
+
+
+def make_pretext_model(task: str, dropout_rate: float = 0.1):
+    return TwinPretext(dropout_rate) if task == "zerons" else DSCNN(dropout_rate)
+
+
+def init_pretext_state(cfg: PretextConfig, rng: jax.Array) -> TrainState:
+    model = make_pretext_model(cfg.task, cfg.dropout_rate)
+    x = jnp.zeros((1, 96, cfg.crop_frames, 1))
+    # jit(init): eager init dispatches each conv as its own TPU program
+    # (~100s through the axon relay); one jitted program is seconds.
+    init = jax.jit(model.init)
+    params = init(rng, x, x) if cfg.task == "zerons" else init(rng, x)
+    return TrainState.create(apply_fn=model.apply, params=params, tx=pretext_optimizer(cfg.task))
+
+
+def crop_shifts(
+    bank_item: np.ndarray, batch_size: int, crop_frames: int, rng: np.random.Generator
+) -> np.ndarray:
+    """(2, 96, T) -> (batch_size, 2, 96, crop_frames) random shifts.
+
+    The reference samples starts from range(0, 313) on a 626-frame bank item
+    (pretext.py:307-318); generalized to range(0, T - crop_frames + 1).
+    """
+    t = bank_item.shape[-1]
+    max_start = t - crop_frames
+    starts = rng.choice(max_start + 1, size=batch_size, replace=max_start + 1 >= batch_size)
+    return np.stack([bank_item[:, :, s : s + crop_frames] for s in starts])
+
+
+def batches_from_bank(
+    bank: np.ndarray, cfg: PretextConfig, rng: np.random.Generator, shuffle: bool = True
+) -> Iterator[np.ndarray]:
+    """Yield (B, 2, 96, crop) batches, one per track, reference semantics."""
+    order = rng.permutation(len(bank)) if shuffle else np.arange(len(bank))
+    for i in order:
+        yield crop_shifts(bank[i], cfg.batch_size, cfg.crop_frames, rng)
+
+
+def _forward(apply_fn, params, anchors, positives, task: str, train: bool, rng):
+    kwargs = {"train": train}
+    if train:
+        kwargs["rngs"] = {"dropout": rng}
+    if task == "zerons":
+        return apply_fn(params, anchors, positives, **kwargs)
+    return apply_fn(params, anchors, **kwargs), apply_fn(params, positives, **kwargs)
+
+
+def make_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
+    """Build the jitted pretext train step; data-sharded when mesh given."""
+
+    def local_loss(params, apply_fn, anchors, positives, rng, axis: Optional[str]):
+        a_emb, p_emb = _forward(apply_fn, params, anchors, positives, cfg.task, True, rng)
+        if axis is None:
+            return ntxent(a_emb, p_emb, cfg.temperature)
+        return ntxent_global(a_emb, p_emb, cfg.temperature, axis)
+
+    if mesh is None:
+
+        @jax.jit
+        def step(state: TrainState, batch: jnp.ndarray, rng):
+            anchors = batch[:, 0, :, :, None]
+            positives = batch[:, 1, :, :, None]
+
+            def loss_fn(p):
+                loss, pc, nc = local_loss(p, state.apply_fn, anchors, positives, rng, None)
+                return loss, (pc, nc)
+
+            (loss, (pc, nc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), loss, pc, nc
+
+        return step
+
+    def sharded_loss(params, batch, rng):
+        anchors = batch[:, 0, :, :, None]
+        positives = batch[:, 1, :, :, None]
+        loss, pc, nc = local_loss(params, apply_holder[0], anchors, positives, rng, "data")
+        return loss, (pc, nc)
+
+    apply_holder = [None]
+
+    def step(state: TrainState, batch: jnp.ndarray, rng):
+        apply_holder[0] = state.apply_fn
+
+        def loss_wrap(params, b):
+            return sharded_loss(params, b, rng)
+
+        shard_fn = jax.shard_map(
+            lambda p, b: jax.value_and_grad(loss_wrap, has_aux=True)(p, b),
+            mesh=mesh,
+            in_specs=(P(), P("data")),
+            out_specs=((P(), (P(), P())), P()),
+        )
+        (loss, (pc, nc)), grads = shard_fn(state.params, batch)
+        # shard_map psum-ed the loss; grads of a pmean-ed loss are already
+        # averaged via the all-gather backward pass.
+        return state.apply_gradients(grads=grads), loss, pc, nc
+
+    return jax.jit(step)
+
+
+def make_eval_step(cfg: PretextConfig):
+    @jax.jit
+    def step(state: TrainState, batch: jnp.ndarray):
+        anchors = batch[:, 0, :, :, None]
+        positives = batch[:, 1, :, :, None]
+        a_emb, p_emb = _forward(state.apply_fn, state.params, anchors, positives, cfg.task, False, None)
+        return ntxent(a_emb, p_emb, cfg.temperature)
+
+    return step
