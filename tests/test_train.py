@@ -140,6 +140,29 @@ def test_pretext_sharded_step_matches_unsharded():
     np.testing.assert_allclose(l1, l2, atol=5e-6)
 
 
+def test_pretext_staged_step_matches_host_crops():
+    """Device-side dynamic-slice cropping == host crop_shifts batches."""
+    from zeronotesamba_tpu.train.pretext import make_staged_train_step
+
+    cfg = PretextConfig(batch_size=4, crop_frames=64, dropout_rate=0.0)
+    state = init_pretext_state(cfg, jax.random.PRNGKey(0))
+    g = np.random.default_rng(2)
+    bank = g.standard_normal((3, 2, 96, 128)).astype(np.float32)
+    starts = np.array([0, 17, 33, 64], dtype=np.int32)
+    track = 1
+    batch = np.stack([bank[track][:, :, s : s + 64] for s in starts])
+    rng = jax.random.PRNGKey(5)
+
+    host_step = make_train_step(cfg)
+    staged_step = make_staged_train_step(cfg)
+    s1, loss1, pc1, nc1 = host_step(state, jnp.asarray(batch), rng)
+    s2, loss2, pc2, nc2 = staged_step(state, jnp.asarray(bank), jnp.int32(track), jnp.asarray(starts), rng)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    l1 = np.asarray(jax.tree.leaves(s1.params)[0])
+    l2 = np.asarray(jax.tree.leaves(s2.params)[0])
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_ds):
     from zeronotesamba_tpu.train.checkpoint import CheckpointManager, load_params, save_params
 

@@ -22,7 +22,8 @@ from zeronotesamba_tpu.train.pretext import (
     crop_shifts,
     init_pretext_state,
     make_eval_step,
-    make_train_step,
+    make_staged_train_step,
+    sample_shifts,
 )
 from zeronotesamba_tpu.utils.logging import get_logger
 
@@ -95,14 +96,20 @@ def train_pretext(
     mesh=None,
 ) -> "tuple":
     """Train; returns (best_params, history dict)."""
+    import jax.numpy as jnp
+
     pcfg = PretextConfig(
         task=cfg.task, batch_size=cfg.batch_size, crop_frames=cfg.crop_frames, temperature=cfg.temperature
     )
     state = init_pretext_state(pcfg, jax.random.PRNGKey(cfg.seed))
-    step = make_train_step(pcfg, mesh=mesh)
+    step = make_staged_train_step(pcfg, mesh=mesh)
     eval_step = make_eval_step(pcfg)
     rng = np.random.default_rng(cfg.seed)
-    val_batches = fixed_val_shifts(val_bank, pcfg, cfg.seed)
+    # Stage both banks on device once; training batches are (track, shifts)
+    # scalars and on-device slices (see make_staged_train_step).
+    bank_dev = jnp.asarray(train_bank)
+    val_batches = [jnp.asarray(vb) for vb in fixed_val_shifts(val_bank, pcfg, cfg.seed)]
+    bank_frames = train_bank.shape[-1]
 
     best_val = np.inf
     best_params = state.params
@@ -112,13 +119,13 @@ def train_pretext(
         order = rng.permutation(len(train_bank))
         tr_losses, tr_pos, tr_neg = [], [], []
         for i in order:
-            batch = crop_shifts(train_bank[i], pcfg.batch_size, pcfg.crop_frames, rng)
+            starts = sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
             key, sub = jax.random.split(key)
-            state, loss, pc, nc = step(state, jax.numpy.asarray(batch), sub)
+            state, loss, pc, nc = step(state, bank_dev, jnp.int32(i), jnp.asarray(starts), sub)
             tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
         va_losses, va_pos, va_neg = [], [], []
         for vb in val_batches:
-            loss, pc, nc = eval_step(state, jax.numpy.asarray(vb))
+            loss, pc, nc = eval_step(state, vb)
             va_losses.append(float(loss)); va_pos.append(float(pc)); va_neg.append(float(nc))
         tr, va = float(np.mean(tr_losses)), float(np.mean(va_losses))
         hist["train_loss"].append(tr); hist["val_loss"].append(va)

@@ -1,0 +1,163 @@
+"""Fused Pallas TPU kernel for the VQT filterbank stage.
+
+Fuses, per octave, what the XLA path (ops/vqt.py) runs as conv -> square ->
+add -> sqrt -> (later) log with HBM roundtrips between them:
+
+    frames(signal) @ [cos|sin] bank -> magnitude -> log(. + eps)
+
+in one VMEM-resident pass. Framing happens inside the kernel without an HBM
+im2col: each program receives 8 per-tile signal spans (tile = 128 frames,
+span = 128*hop + W samples) and assembles the (8*128, W) frame matrix in
+VMEM from ``W // hop`` strided row blocks (hop divides W for every octave:
+hop = 256 >> dec, W = 256). The filterbank matmul maps to the MXU
+((1024, 256) x (256, 128)); magnitude and log run on the VPU over the same
+tile. TPU tiling constraints shape the layout: row blocks of 8, last dims
+multiples of 128 (the 24 live bank columns are zero-padded to 128).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from zeronotesamba_tpu.ops.filterbank import XQTParams, octave_kernel_bank
+
+TILE_T = 128  # frames per tile; TILE_T*hop is 128-divisible for every hop
+ROWS = 8  # span rows per program (TPU sublane granularity)
+BANK_PAD = 128  # bank columns padded from 2*bpo=24 to the lane width
+
+
+def _octave_kernel(x_ref, bank_ref, out_ref, *, hop: int, w: int, bpo: int, log_eps: float):
+    """One program: 8 spans -> frames -> matmul -> |.| -> log.
+
+    x_ref:    (ROWS, n_rows, hop)    pre-strided span rows, n_rows = TILE_T + w//hop - 1
+    bank_ref: (w, BANK_PAD)          [cos(12) | sin(12) | zeros]
+    out_ref:  (ROWS, TILE_T, BANK_PAD)  log-mags in cols [0, bpo)
+    """
+    n_shift = w // hop
+    # frames @ bank decomposed as a sum over hop-wide column groups — avoids
+    # materializing/concatenating the (ROWS*TILE_T, w) frame matrix, which
+    # Mosaic cannot lay out (offset concat of shifted slices):
+    #   resp[m] = sum_k rows[m + k] @ bank[k*hop : (k+1)*hop]
+    # Slicing happens on the REFS with pl.ds (value dynamic_slice is not
+    # lowered); fori_loop keeps the temporaries VMEM-bounded.
+
+    def body(k, resp):
+        block = x_ref[:, pl.ds(k, TILE_T), :].reshape(ROWS * TILE_T, hop)
+        bank_k = bank_ref[pl.ds(k * hop, hop), :]
+        # HIGHEST: full f32 via multi-pass MXU — the log epilogue amplifies
+        # bf16 matmul error unacceptably in low-magnitude cells.
+        return resp + jnp.dot(
+            block, bank_k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+
+    resp = jax.lax.fori_loop(0, n_shift, body, jnp.zeros((ROWS * TILE_T, BANK_PAD), jnp.float32))
+    re = resp[:, :bpo]
+    im = resp[:, bpo : 2 * bpo]
+    mag = jnp.sqrt(re * re + im * im + 1e-30)
+    logmag = jnp.log(mag + log_eps)
+    padded = jnp.concatenate([logmag, jnp.zeros((ROWS * TILE_T, BANK_PAD - bpo), jnp.float32)], axis=1)
+    out_ref[:, :, :] = padded.reshape(ROWS, TILE_T, BANK_PAD)
+
+
+def octave_log_xqt_pallas(
+    sig: jnp.ndarray,  # (B, >= (n_frames-1)*hop + w) signal, frame 0 at offset 0
+    bank: jnp.ndarray,  # (w, BANK_PAD) float32
+    *,
+    hop: int,
+    w: int,
+    n_frames: int,
+    bpo: int = 12,
+    log_eps: float = 1e-9,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, L) -> (B, n_frames, bpo) log magnitudes for one octave."""
+    b = sig.shape[0]
+    n_shift = w // hop
+    n_rows = TILE_T + n_shift - 1
+    n_tiles = (n_frames + TILE_T - 1) // TILE_T
+    span = n_rows * hop
+    need = (n_tiles - 1) * TILE_T * hop + span
+    if sig.shape[1] < need:
+        sig = jnp.pad(sig, ((0, 0), (0, need - sig.shape[1])))
+    # Per-tile overlapping spans, pre-strided into hop-wide rows (XLA gather;
+    # Mosaic cannot split the minor dim in-kernel), padded to ROWS tiles.
+    idx = (jnp.arange(n_tiles)[:, None] * (TILE_T * hop) + jnp.arange(span)[None, :]).reshape(-1)
+    spans = jnp.take(sig, idx, axis=1).reshape(b * n_tiles, n_rows, hop)
+    r = spans.shape[0]
+    r_pad = ((r + ROWS - 1) // ROWS) * ROWS
+    if r_pad != r:
+        spans = jnp.pad(spans, ((0, r_pad - r), (0, 0), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_octave_kernel, hop=hop, w=w, bpo=bpo, log_eps=log_eps),
+        out_shape=jax.ShapeDtypeStruct((r_pad, TILE_T, BANK_PAD), jnp.float32),
+        grid=(r_pad // ROWS,),
+        in_specs=[
+            pl.BlockSpec((ROWS, n_rows, hop), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, BANK_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, TILE_T, BANK_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(spans, bank)
+    out = out[:r].reshape(b, n_tiles * TILE_T, BANK_PAD)
+    return out[:, :n_frames, :bpo]
+
+
+@functools.lru_cache(maxsize=8)
+def _banks_f32(params: XQTParams) -> Tuple[np.ndarray, ...]:
+    bank = octave_kernel_bank(params)  # (n_oct, W, bpo) complex
+    conj = np.conj(bank)
+    out = []
+    for j in range(params.n_octaves):
+        stacked = np.concatenate([conj[j].real, conj[j].imag], axis=1).astype(np.float32)
+        padded = np.zeros((params.window_len, BANK_PAD), np.float32)
+        padded[:, : stacked.shape[1]] = stacked
+        out.append(padded)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "interpret"))
+def log_xqt_pallas(y: jnp.ndarray, params: XQTParams = XQTParams(), *, interpret: bool = False) -> jnp.ndarray:
+    """Batched log-VQT with the fused Pallas filterbank stage.
+
+    The decimation cascade stays on XLA (tiny strided convs); each octave's
+    framing+matmul+magnitude+log runs as one Pallas kernel. Output matches
+    ops.vqt.log_xqt to float32 accumulation accuracy.
+    """
+    from zeronotesamba_tpu.ops.vqt import _conv_constants, _decimate2, _reflect_pad_last
+
+    if y.ndim != 2:
+        raise ValueError("expects (batch, samples)")
+    banks = _banks_f32(params)
+    _, dec_kern = _conv_constants(params)
+    dec_kern = jnp.asarray(dec_kern)
+    n_frames = params.num_frames(y.shape[-1])
+    w = params.window_len
+    bpo = params.bins_per_octave
+    dec_max = params.n_octaves - 1
+    pad = (w // 2 + 1) << dec_max
+
+    x = _reflect_pad_last(y.astype(jnp.float32)[:, None, :], pad)
+    octaves = []
+    for j in range(params.n_octaves - 1, -1, -1):
+        dec = params.n_octaves - 1 - j
+        hop_j = params.hop >> dec
+        pad_j = pad >> dec
+        offset = pad_j - w // 2
+        span_needed = (n_frames - 1) * hop_j + w
+        sig = x[:, 0, offset : offset + span_needed]
+        res = octave_log_xqt_pallas(
+            sig, jnp.asarray(banks[j]), hop=hop_j, w=w, n_frames=n_frames, bpo=bpo,
+            log_eps=params.log_eps, interpret=interpret,
+        )  # (B, T, bpo)
+        octaves.append(jnp.swapaxes(res, 1, 2))  # (B, bpo, T)
+        if j > 0:
+            x = _decimate2(x, dec_kern)
+    return jnp.concatenate(octaves[::-1], axis=1)

@@ -147,3 +147,72 @@ def make_eval_step(cfg: PretextConfig):
         return ntxent(a_emb, p_emb, cfg.temperature)
 
     return step
+
+
+def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
+    """Train step over a DEVICE-RESIDENT bank: the (N, 2, 96, T) bank array
+    stays in HBM and each step receives only (track_idx, starts) scalars —
+    the reference's host-side shift cropping (pretext.py:307-318) becomes
+    on-device dynamic slices, eliminating per-batch host uploads (host links
+    run ~1 MB/s through the relay; a 16-shift batch is ~38 MB)."""
+
+    def crops_from(bank, track_idx, starts):
+        item = jax.lax.dynamic_index_in_dim(bank, track_idx, 0, keepdims=False)  # (2,96,T)
+
+        def crop(s):
+            return jax.lax.dynamic_slice_in_dim(item, s, cfg.crop_frames, axis=2)
+
+        return jax.vmap(crop)(starts)  # (B, 2, 96, crop)
+
+    def loss_from_batch(params, apply_fn, batch, rng, axis):
+        anchors = batch[:, 0, :, :, None]
+        positives = batch[:, 1, :, :, None]
+        a_emb, p_emb = _forward(apply_fn, params, anchors, positives, cfg.task, True, rng)
+        if axis is None:
+            loss, pc, nc = ntxent(a_emb, p_emb, cfg.temperature)
+        else:
+            loss, pc, nc = ntxent_global(a_emb, p_emb, cfg.temperature, axis)
+        return loss, (pc, nc)
+
+    if mesh is None:
+
+        @jax.jit
+        def step(state: TrainState, bank: jnp.ndarray, track_idx, starts, rng):
+            batch = crops_from(bank, track_idx, starts)
+
+            def loss_fn(p):
+                return loss_from_batch(p, state.apply_fn, batch, rng, None)
+
+            (loss, (pc, nc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            return state.apply_gradients(grads=grads), loss, pc, nc
+
+        return step
+
+    def step(state: TrainState, bank: jnp.ndarray, track_idx, starts, rng):
+        apply_fn = state.apply_fn
+
+        def shard_body(params, bank_, track_idx_, starts_):
+            batch = crops_from(bank_, track_idx_, starts_)
+
+            def loss_fn(p):
+                return loss_from_batch(p, apply_fn, batch, rng, "data")
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        shard_fn = jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("data")),
+            out_specs=((P(), (P(), P())), P()),
+        )
+        (loss, (pc, nc)), grads = shard_fn(state.params, bank, track_idx, starts)
+        return state.apply_gradients(grads=grads), loss, pc, nc
+
+    return jax.jit(step)
+
+
+def sample_shifts(bank_frames: int, batch_size: int, crop_frames: int, rng: np.random.Generator) -> np.ndarray:
+    """Random shift starts (reference samples from range(0, 313) on 626-frame
+    items, pretext.py:307-318)."""
+    max_start = bank_frames - crop_frames
+    return rng.choice(max_start + 1, size=batch_size, replace=max_start + 1 >= batch_size).astype(np.int32)
