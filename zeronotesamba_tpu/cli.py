@@ -98,9 +98,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser("measures", help="embedding information measures")
     m.add_argument("--data", required=True)
-    m.add_argument("--status", default="van", help="reference meastatus label")
+    m.add_argument("--status", default="van", help="reference meastatus label (van/rand/drums/ros/mix/...)")
+    m.add_argument("--stream", default="fused", choices=["fused", "anchor", "positive"],
+                   help="which pulse to measure (reference drums=positive, ros=anchor, mix=fused)")
     m.add_argument("--params", default=None)
     m.add_argument("--out", default="results/measures")
+
+    d = sub.add_parser("demo-suite", help="reproduce the full experiment grid on synthetic data")
+    d.add_argument("--out", default="results/synthetic")
+    d.add_argument("--songs", type=int, default=24)
+    d.add_argument("--pretext-epochs", type=int, default=10)
+    d.add_argument("--max-epochs", type=int, default=60)
+    d.add_argument("--folds", type=int, default=4)
+    _add_common(d)
 
     i = sub.add_parser("infer", help="track one audio file")
     i.add_argument("audio", help="wav file")
@@ -230,19 +240,44 @@ def main(argv=None):
         cfg = SupervisedConfig(status=status)
         state = init_state(cfg, ds[0], jax.random.PRNGKey(0), params=_load_params(args.params))
         staged = StagedDataset(ds.records, cfg.bucket_frames)
+        stream_fn = None
+        if args.stream != "fused" and status == "pretrained":
+            # Per-stream pulses (reference meastatus 'ros'/'drums' measure the
+            # anchor / percussive streams separately, measures.py:341-392).
+            import jax as _jax
+
+            which = 0 if args.stream == "anchor" else 1
+
+            @_jax.jit
+            def stream_fn(params, vqt):
+                la, lb = state.apply_fn(params, vqt[:, 0, :, :, None], vqt[:, 1, :, :, None], method="logits")
+                return _jax.nn.sigmoid(la if which == 0 else lb)
+
         rows = []
         for t, idx in staged.plan(ds.names, cfg.batch_size):
             bucket = staged.buckets[t]
             sel = jnp.asarray(idx)
-            _, out = eval_step(state, jnp.take(bucket.vqt, sel, axis=0),
-                               jnp.take(bucket.pulse, sel, axis=0),
-                               jnp.take(bucket.mask, sel, axis=0), status)
+            vqt_sel = jnp.take(bucket.vqt, sel, axis=0)
+            if stream_fn is not None:
+                out = stream_fn(state.params, vqt_sel)
+            else:
+                _, out = eval_step(state, vqt_sel, jnp.take(bucket.pulse, sel, axis=0),
+                                   jnp.take(bucket.mask, sel, axis=0), status)
             out = np.asarray(out)
             for b, row in enumerate(idx):
                 rows.append(embedding_measures(out[b, : bucket.n_frames[row]]))
         table = quantile_table(rows)
         write_measures_report(table, args.out, args.status)
         print(json.dumps(table, indent=2))
+
+    elif args.cmd == "demo-suite":
+        from zeronotesamba_tpu.experiments.demo_suite import DemoSuiteConfig, run_demo_suite
+
+        cfg = DemoSuiteConfig(
+            out_dir=args.out, n_songs=args.songs, pretext_epochs=args.pretext_epochs,
+            max_epochs=args.max_epochs, folds=args.folds, seed=args.seed,
+        )
+        print(json.dumps(run_demo_suite(cfg), indent=2))
 
     elif args.cmd == "infer":
         from zeronotesamba_tpu.infer import BeatTracker

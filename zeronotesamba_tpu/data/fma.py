@@ -80,22 +80,20 @@ def mine_stems(
             try:
                 sig, _ = audio_io.load_audio(os.path.join(dirpath, f), target_sr=SAMPLE_RATE)
                 if len(sig) < min_len_s * SAMPLE_RATE:
-                    done.add(tid)
-                    continue
-                anchor, positive = separate(sig, SAMPLE_RATE, backend=separation)
-                if not rms_gate(anchor, positive, lower_p, upper_p):
-                    log.info("gate rejected %s", tid)
-                    done.add(tid)
-                    continue
-                tdir = os.path.join(out_root, tid)
-                os.makedirs(tdir, exist_ok=True)
-                audio_io.write_wav(os.path.join(tdir, "drums.wav"), positive, SAMPLE_RATE)
-                audio_io.write_wav(os.path.join(tdir, "other.wav"), anchor, SAMPLE_RATE)
-                written.append(tid)
-                done.add(tid)
+                    log.info("too short: %s", tid)
+                else:
+                    anchor, positive = separate(sig, SAMPLE_RATE, backend=separation)
+                    if not rms_gate(anchor, positive, lower_p, upper_p):
+                        log.info("gate rejected %s", tid)
+                    else:
+                        tdir = os.path.join(out_root, tid)
+                        os.makedirs(tdir, exist_ok=True)
+                        audio_io.write_wav(os.path.join(tdir, "drums.wav"), positive, SAMPLE_RATE)
+                        audio_io.write_wav(os.path.join(tdir, "other.wav"), anchor, SAMPLE_RATE)
+                        written.append(tid)
             except (ValueError, OSError) as e:  # bad audio: skip, like the reference
                 log.warning("skipping %s: %s", tid, e)
-                done.add(tid)
+            done.add(tid)
             save_watermark(out_root, done)
     return written
 

@@ -1,0 +1,186 @@
+"""Reproduce the reference's full experiment grid on synthetic data.
+
+The image has no Ballroom/GTZAN/Hainsworth/SMC audio (zero egress), so this
+driver reproduces the SHAPE of every reference experiment end-to-end on
+synthetic click-track corpora with exactly known annotations:
+
+1. pretext contrastive pretraining on percussive/harmonic stem pairs
+   (reference pretext.py) -> checkpoint;
+2. zero-shot evaluation of the frozen pretext model (beat_down.py
+   'validation' mode) vs a random-init control — the paper's headline
+   unsupervised comparison (unsupervised.xlsx);
+3. supervised k-fold CV beat tracking, vanilla vs pretrained-finetune
+   (beat_down.py / supervised.xlsx);
+4. cross-dataset generalization onto a different-timbre corpus
+   (cross_data.py / cross_data.xlsx);
+5. few-shot training-size sweep (data_exp.py / few_shot.xlsx);
+6. embedding information measures (measures.py / measures.xlsx).
+
+Each stage writes JSON under ``results/synthetic/`` — the rebuild's analogue
+of the reference's xlsx workbooks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict
+
+import jax
+import numpy as np
+
+from zeronotesamba_tpu.data.datasets import BeatDataset, SongRecord
+from zeronotesamba_tpu.data.synthetic import percussive_pair
+from zeronotesamba_tpu.data.pulse import beat_pulse
+from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig, run_beat_experiment, summarize
+from zeronotesamba_tpu.experiments.cross import run_cross_experiment
+from zeronotesamba_tpu.experiments.few_shot import run_few_shot
+from zeronotesamba_tpu.experiments.measures import embedding_measures, quantile_table, write_measures_report
+from zeronotesamba_tpu.experiments.pretext_driver import PretextRunConfig, train_pretext
+from zeronotesamba_tpu.ops.vqt import generate_xqt
+from zeronotesamba_tpu.utils.logging import get_logger
+
+log = get_logger("experiments.demo_suite")
+FPS = 62.5
+
+
+@dataclasses.dataclass
+class DemoSuiteConfig:
+    out_dir: str = "results/synthetic"
+    n_songs: int = 24
+    n_songs_b: int = 16
+    duration_s: float = 12.0
+    pretext_epochs: int = 10
+    folds: int = 4
+    max_epochs: int = 100
+    patience: int = 20  # the reference's early-stop budget (beat_down.py:135-151);
+    # shorter budgets kill folds on the pre-breakthrough loss plateau
+    batch_size: int = 8
+    few_shot_sizes: tuple = (1, 2, 4)
+    few_shot_repeats: int = 2
+    seed: int = 0
+
+
+def _build_corpus(n: int, duration_s: float, *, bpm_lo: float, bpm_hi: float, click_freq: float, seed: int):
+    """Paired datasets over the SAME songs: split (anchor/positive) + mix."""
+    from zeronotesamba_tpu.data.synthetic import click_track
+
+    rng = np.random.default_rng(seed)
+    split = BeatDataset()
+    mix = BeatDataset()
+    for i in range(n):
+        bpm = float(rng.uniform(bpm_lo, bpm_hi))
+        anchor, positive, beats = percussive_pair(duration_s, bpm, seed=seed * 10007 + i)
+        # Re-synthesize the percussive stream's click timbre per corpus.
+        if click_freq != 1500.0:
+            positive, beats = click_track(
+                duration_s, bpm, accomp=False, noise=0.0, click_freq=click_freq, seed=seed * 10007 + i
+            )
+        vq_a = generate_xqt(anchor, 16000, "vqt")
+        vq_p = generate_xqt(positive, 16000, "vqt")
+        vq_m = generate_xqt((anchor + positive).astype(np.float32), 16000, "vqt")
+        t = vq_a.shape[-1]
+        pulse = beat_pulse(beats, t, FPS)
+        name = f"s{seed}_{i:03d}_bpm{bpm:.0f}"
+        common = dict(
+            pulse=pulse, down_pulse=np.zeros(t, np.float32),
+            beat_times=np.asarray(beats), downbeat_times=np.zeros(0),
+        )
+        split.add(SongRecord(name=name, vqt=np.stack([vq_a, vq_p]), **common))
+        mix.add(SongRecord(name=name, vqt=vq_m[None], **common))
+    return split, mix
+
+
+def _metrics_dict(summary: Dict[str, float]) -> Dict[str, float]:
+    return {k: round(v, 4) for k, v in summary.items()}
+
+
+def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    results: Dict[str, dict] = {}
+    t_start = time.time()
+
+    log.info("building corpora...")
+    split_a, mix_a = _build_corpus(cfg.n_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180, click_freq=1500.0, seed=cfg.seed + 1)
+    split_b, mix_b = _build_corpus(cfg.n_songs_b, cfg.duration_s, bpm_lo=60, bpm_hi=140, click_freq=800.0, seed=cfg.seed + 2)
+
+    # 1. Pretext pretraining on corpus-A stem pairs.
+    log.info("pretext pretraining...")
+    bank = np.stack([r.vqt for r in split_a]).astype(np.float32)
+    n_val = max(2, len(bank) // 8)
+    pre_cfg = PretextRunConfig(task="zerons", num_epochs=cfg.pretext_epochs, batch_size=16, seed=cfg.seed,
+                               checkpoint_path=os.path.join(cfg.out_dir, "pretext_ckpt"))
+    best_params, hist = train_pretext(bank[n_val:], bank[:n_val], pre_cfg)
+    results["pretext"] = {
+        "val_loss_first": round(hist["val_loss"][0], 4),
+        "val_loss_best": round(min(hist["val_loss"]), 4),
+        "val_pos_final": round(hist["val_pos"][-1], 4),
+        "val_neg_final": round(hist["val_neg"][-1], 4),
+    }
+    fused_params = {"params": {"pretext": best_params["params"]}}
+
+    # 2. Zero-shot (validation mode): pretrained vs random init.
+    log.info("zero-shot eval...")
+    zcfg = BeatExperimentConfig(status="pretrained", pre="validation", eval_method="dbn",
+                                batch_size=cfg.batch_size, seed=cfg.seed)
+    zs_pre = run_beat_experiment(split_a, zcfg, init_params=fused_params)
+    zs_rand = run_beat_experiment(split_a, zcfg, init_params=None)
+    results["unsupervised"] = {
+        "zerons_dbn_f1": round(float(zs_pre[0].test_metrics[0]), 4),
+        "random_dbn_f1": round(float(zs_rand[0].test_metrics[0]), 4),
+    }
+
+    # 3. Supervised k-fold CV: vanilla (mix input) and pretrained finetune.
+    log.info("supervised CV (vanilla)...")
+    bcfg = BeatExperimentConfig(status="vanilla", lr=2e-4, eval_method="dbn", n_folds=cfg.folds,
+                                max_epochs=cfg.max_epochs, patience=cfg.patience,
+                                batch_size=cfg.batch_size, seed=cfg.seed)
+    res_van = run_beat_experiment(mix_a, bcfg, progress=False)
+    log.info("supervised CV (pretrained finetune)...")
+    pcfg = dataclasses.replace(bcfg, status="pretrained", lr=2e-3)  # eff lr = 0.05*lr rule
+    res_pre = run_beat_experiment(split_a, pcfg, init_params=fused_params, progress=False)
+    results["supervised"] = {
+        "vanilla": _metrics_dict(summarize(res_van)),
+        "pretrained": _metrics_dict(summarize(res_pre)),
+    }
+
+    # 4. Cross-dataset: train corpus A -> test corpus B (different timbre/tempo range).
+    log.info("cross-dataset...")
+    ccfg = dataclasses.replace(bcfg, n_folds=2)
+    res_cross = run_cross_experiment(mix_a, mix_b, ccfg)
+    results["cross_data"] = _metrics_dict(summarize(res_cross))
+
+    # 5. Few-shot sweep on corpus A (vanilla).
+    log.info("few-shot...")
+    fcfg = dataclasses.replace(bcfg, max_epochs=cfg.max_epochs // 2, patience=max(3, cfg.patience // 2))
+    res_few = run_few_shot(mix_a, fcfg, train_sizes=cfg.few_shot_sizes, repeats=cfg.few_shot_repeats)
+    results["few_shot"] = {str(k): v for k, v in res_few.items()}
+
+    # 6. Embedding measures over pretrained zero-shot pulses.
+    log.info("measures...")
+    from zeronotesamba_tpu.train.supervised import StagedDataset, SupervisedConfig, eval_step, init_state
+    import jax.numpy as jnp
+
+    sup = SupervisedConfig(status="pretrained", batch_size=cfg.batch_size)
+    st = init_state(sup, split_a[0], jax.random.PRNGKey(0), params=fused_params)
+    staged = StagedDataset(split_a.records, sup.bucket_frames)
+    rows = []
+    for t, idx in staged.plan(split_a.names, sup.batch_size):
+        bucket = staged.buckets[t]
+        sel = jnp.asarray(idx)
+        _, out = eval_step(st, jnp.take(bucket.vqt, sel, axis=0), jnp.take(bucket.pulse, sel, axis=0),
+                           jnp.take(bucket.mask, sel, axis=0), "pretrained")
+        out = np.asarray(out)
+        for b, row in enumerate(idx):
+            rows.append(embedding_measures(out[b, : bucket.n_frames[row]]))
+    table = quantile_table(rows)
+    write_measures_report(table, os.path.join(cfg.out_dir, "measures"), "zerons_zero_shot")
+    results["measures"] = {k: {"mean": round(v["mean"], 4)} for k, v in table.items()}
+
+    results["wall_clock_s"] = round(time.time() - t_start, 1)
+    with open(os.path.join(cfg.out_dir, "summary.json"), "w") as fh:
+        json.dump(results, fh, indent=2)
+    log.info("demo suite done in %.0fs -> %s", results["wall_clock_s"], cfg.out_dir)
+    return results

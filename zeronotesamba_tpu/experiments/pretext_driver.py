@@ -40,6 +40,13 @@ class PretextRunConfig:
     seed: int = 0
     checkpoint_path: Optional[str] = None  # best-val params (reference
     # models/shift_pret_cnn_16.pth equivalent)
+    resume_dir: Optional[str] = None  # full-TrainState checkpoints: training
+    # resumes mid-run with optimizer state (the reference can only save,
+    # never resume — SURVEY §5)
+    figures_path: Optional[str] = None  # loss/similarity PDFs every
+    # figures_every epochs (reference pretext.py:418-448)
+    figures_every: int = 5
+    trace_dir: Optional[str] = None  # jax.profiler trace of the first epoch
 
 
 def build_bank_from_stem_root(
@@ -115,14 +122,28 @@ def train_pretext(
     best_params = state.params
     hist = {"train_loss": [], "val_loss": [], "train_pos": [], "train_neg": [], "val_pos": [], "val_neg": []}
     key = jax.random.PRNGKey(cfg.seed + 1)
-    for epoch in range(cfg.num_epochs):
+    start_epoch = 0
+    mgr = None
+    if cfg.resume_dir:
+        from zeronotesamba_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(cfg.resume_dir)
+        latest = mgr.latest_step()
+        if latest is not None:
+            state = mgr.restore(state, latest)
+            start_epoch = latest + 1
+            log.info("resumed from epoch %d", latest)
+    from zeronotesamba_tpu.utils.profiling import trace
+
+    for epoch in range(start_epoch, cfg.num_epochs):
         order = rng.permutation(len(train_bank))
         tr_losses, tr_pos, tr_neg = [], [], []
-        for i in order:
-            starts = sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
-            key, sub = jax.random.split(key)
-            state, loss, pc, nc = step(state, bank_dev, jnp.int32(i), jnp.asarray(starts), sub)
-            tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
+        with trace(cfg.trace_dir if epoch == start_epoch else None):
+            for i in order:
+                starts = sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
+                key, sub = jax.random.split(key)
+                state, loss, pc, nc = step(state, bank_dev, jnp.int32(i), jnp.asarray(starts), sub)
+                tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
         va_losses, va_pos, va_neg = [], [], []
         for vb in val_batches:
             loss, pc, nc = eval_step(state, vb)
@@ -138,4 +159,12 @@ def train_pretext(
             best_params = jax.tree.map(lambda x: x.copy(), state.params)
             if cfg.checkpoint_path:
                 save_params(cfg.checkpoint_path, best_params)
+        if mgr is not None:
+            mgr.save(epoch, state, metrics={"val_loss": va})
+        if cfg.figures_path and (epoch + 1) % cfg.figures_every == 0:
+            from zeronotesamba_tpu.utils.plotting import plot_history
+
+            plot_history(hist, cfg.figures_path)
+    if mgr is not None:
+        mgr.close()
     return best_params, hist

@@ -56,6 +56,10 @@ def init_state(cfg: SupervisedConfig, example: SongRecord, rng: jax.Array, param
     if params is None:
         init = jax.jit(model.init)  # eager init = one TPU program per op; jit it
         params = init(rng, x, x) if cfg.status == "pretrained" else init(rng, x)
+    else:
+        # Deep-copy: train_step donates the state, which would delete the
+        # caller's buffers and break params reuse across folds/repeats.
+        params = jax.tree.map(jnp.array, params)
     tx = make_optimizer(cfg.status, cfg.pre, cfg.lr)
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
