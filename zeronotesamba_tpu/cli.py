@@ -97,10 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--audio-root", required=True, help="directory of wavs")
 
     m = sub.add_parser("measures", help="embedding information measures")
-    m.add_argument("--data", required=True)
-    m.add_argument("--status", default="van", help="reference meastatus label (van/rand/drums/ros/mix/...)")
+    m.add_argument("--data", default=None, help="npz dataset cache (not needed for --status std)")
+    m.add_argument("--status", default="van", help="reference meastatus label (van/rand/drums/ros/mix/std)")
     m.add_argument("--stream", default="fused", choices=["fused", "anchor", "positive"],
                    help="which pulse to measure (reference drums=positive, ros=anchor, mix=fused)")
+    m.add_argument("--bank", default=None, help="npz bank with val_bank array (--status std)")
     m.add_argument("--params", default=None)
     m.add_argument("--out", default="results/measures")
 
@@ -235,6 +236,33 @@ def main(argv=None):
         from zeronotesamba_tpu.experiments.measures import embedding_measures, quantile_table, write_measures_report
         from zeronotesamba_tpu.train.supervised import StagedDataset, SupervisedConfig, eval_step, init_state
 
+        if args.status == "std":
+            # NT-Xent validation re-run over a saved bank (reference
+            # measures.py:394-429): report contrastive loss + similarities.
+            from zeronotesamba_tpu.experiments.pretext_driver import PretextRunConfig, fixed_val_shifts
+            from zeronotesamba_tpu.train.pretext import PretextConfig, init_pretext_state, make_eval_step
+
+            if not args.bank:
+                raise SystemExit("--status std requires --bank (npz with val_bank)")
+            with np.load(args.bank) as z:
+                val_bank = z["val_bank"]
+            pcfg = PretextConfig()
+            state = init_pretext_state(pcfg, jax.random.PRNGKey(0))
+            if args.params:
+                state = state.replace(params=_load_params(args.params))
+            ev = make_eval_step(pcfg)
+            losses, poss, negs = [], [], []
+            for vb in fixed_val_shifts(val_bank, pcfg, 0):
+                loss, pc, nc = ev(state, jnp.asarray(vb))
+                losses.append(float(loss)); poss.append(float(pc)); negs.append(float(nc))
+            payload = {"val_loss": float(np.mean(losses)), "pos_sim": float(np.mean(poss)),
+                       "neg_sim": float(np.mean(negs))}
+            print(json.dumps(payload, indent=2))
+            _dump(args.out + "_std.json" if args.out else None, payload)
+            return
+
+        if not args.data:
+            raise SystemExit("--data required (except for --status std)")
         ds = BeatDataset.load(args.data)
         status = "pretrained" if ds[0].vqt.shape[0] == 2 else "vanilla"
         cfg = SupervisedConfig(status=status)

@@ -17,6 +17,10 @@ from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig
 
 DATASETS = ("smc", "ballroom", "hainsworth", "gtzan")
 
+# Valid Spleeter model names (reference source_separation.py:8-32 validates
+# the same set before building its Separator).
+SPLEETER_MODELS = ("2stems", "4stems", "5stems", "2stems-16kHz", "4stems-16kHz", "5stems-16kHz")
+
 
 @dataclasses.dataclass
 class AudioConfig:
@@ -90,6 +94,8 @@ class ZNSConfig:
         a.lower_p = float(y.get("lower_p", a.lower_p))
         a.upper_p = float(y.get("upper_p", a.upper_p))
         a.spl_mod = str(y.get("spl_mod", a.spl_mod))
+        if a.spl_mod not in SPLEETER_MODELS:
+            raise ValueError(f"spl_mod must be one of {SPLEETER_MODELS}, got {a.spl_mod!r}")
         a.pt_data_dir = str(y.get("pt_data_dir", a.pt_data_dir))
         p = cfg.pretext
         p.pt_task = str(y.get("pt_task", p.pt_task))
