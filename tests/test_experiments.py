@@ -66,19 +66,19 @@ def test_measures_report_roundtrip(tmp_path, rng):
 
 
 def test_micro_beat_experiment():
-    ds = build_synthetic(n_songs=8, duration_s=6.0, seed=5, two_stream=False)
+    ds = build_synthetic(n_songs=6, duration_s=4.0, seed=5, two_stream=False)
     cfg = BeatExperimentConfig(
-        status="vanilla", lr=2e-4, eval_method="threshold", n_folds=4,
+        status="vanilla", lr=2e-4, eval_method="threshold", n_folds=2,
         max_epochs=2, patience=2, batch_size=4, bucket_frames=64, seed=1,
     )
     results = run_beat_experiment(ds, cfg, progress=False)
-    assert len(results) == 4
+    assert len(results) == 2
     s = summarize(results)
     assert "F1" in s and np.isfinite(s["F1"])
 
 
 def test_zero_shot_validation_mode():
-    ds = build_synthetic(n_songs=4, duration_s=6.0, seed=6)
+    ds = build_synthetic(n_songs=2, duration_s=4.0, seed=6)
     cfg = BeatExperimentConfig(status="pretrained", pre="validation", eval_method="threshold",
                                batch_size=2, bucket_frames=64)
     results = run_beat_experiment(ds, cfg)

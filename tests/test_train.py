@@ -52,12 +52,12 @@ def test_staged_dataset_padding_and_masking(tiny_ds):
 
 
 def test_supervised_train_step_decreases_loss(tiny_ds):
-    cfg = SupervisedConfig(status="vanilla", lr=1e-4, batch_size=2, bucket_frames=64)
+    cfg = SupervisedConfig(status="vanilla", lr=2e-4, batch_size=2, bucket_frames=64)
     state = init_state(cfg, tiny_ds[0], jax.random.PRNGKey(0))
     staged = StagedDataset(tiny_ds.records, 64)
     plan = staged.plan(tiny_ds.names, 2)
     losses = []
-    for e in range(6):
+    for e in range(4):
         state, loss, _ = run_epoch(state, staged, plan, cfg, train=True, epoch=e, score=False)
         losses.append(loss)
     assert min(losses[-2:]) < losses[0], losses
@@ -111,7 +111,7 @@ def test_pretext_step_runs_and_improves():
     batch = next(batches_from_bank(bank, cfg, g))
     loss0, pc0, nc0 = evalstep(state, jnp.asarray(batch))
     rng = jax.random.PRNGKey(1)
-    for i, batch in enumerate(batches_from_bank(np.tile(bank, (8, 1, 1, 1)), cfg, g)):
+    for i, batch in enumerate(batches_from_bank(np.tile(bank, (2, 1, 1, 1)), cfg, g)):
         state, loss, pc, nc = step(state, jnp.asarray(batch), jax.random.fold_in(rng, i))
     assert np.isfinite(float(loss))
 

@@ -81,10 +81,17 @@ class Bucket:
 
 
 class StagedDataset:
-    """Bucketed song records staged on device once, indexed by song name."""
+    """Bucketed song records staged on device once, indexed by song name.
 
-    def __init__(self, records: Sequence[SongRecord], bucket_frames: int):
+    ``target="downbeat"`` supervises on the downbeat pulse instead (the
+    reference builds both pulses, ballroom.py:198-221; beat is its default).
+    """
+
+    def __init__(self, records: Sequence[SongRecord], bucket_frames: int, target: str = "beat"):
+        if target not in ("beat", "downbeat"):
+            raise ValueError("target must be 'beat' or 'downbeat'")
         self.bucket_frames = bucket_frames
+        self.target = target
         groups: Dict[int, List[SongRecord]] = {}
         for r in records:
             groups.setdefault(_round_up(r.n_frames, bucket_frames), []).append(r)
@@ -97,16 +104,19 @@ class StagedDataset:
             mask = np.zeros((len(recs), t), dtype=np.float32)
             for i, r in enumerate(recs):
                 vqt[i, :, :, : r.n_frames] = r.vqt
-                pulse[i, : r.n_frames] = r.pulse
+                pulse[i, : r.n_frames] = r.pulse if target == "beat" else r.down_pulse
                 mask[i, : r.n_frames] = 1.0
                 self.location[r.name] = (t, i)
+            times = [
+                np.asarray(r.beat_times if target == "beat" else r.downbeat_times) for r in recs
+            ]
             self.buckets[t] = Bucket(
                 vqt=jnp.asarray(vqt),
                 pulse=jnp.asarray(pulse),
                 mask=jnp.asarray(mask),
                 names=[r.name for r in recs],
                 n_frames=[r.n_frames for r in recs],
-                beat_times=[np.asarray(r.beat_times) for r in recs],
+                beat_times=times,
             )
 
     def plan(
