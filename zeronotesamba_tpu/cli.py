@@ -120,6 +120,13 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--decoder", default="dbn", choices=["dbn", "librosa", "threshold"])
     i.add_argument("--out", default=None, help="write JSON result here")
 
+    td = sub.add_parser("track-dir", help="batch-track every wav in a directory")
+    td.add_argument("audio_dir")
+    td.add_argument("--params", default=None)
+    td.add_argument("--separation", default="hpss", choices=["hpss", "stems", "mix"])
+    td.add_argument("--decoder", default="dbn", choices=["dbn", "librosa", "threshold"])
+    td.add_argument("--out", required=True, help="output JSON (one entry per file)")
+
     return ap
 
 
@@ -318,6 +325,25 @@ def main(argv=None):
         }
         print(json.dumps(payload))
         _dump(args.out, payload)
+
+    elif args.cmd == "track-dir":
+        import os
+
+        from zeronotesamba_tpu.infer import BeatTracker
+
+        tracker = BeatTracker(params=_load_params(args.params))
+        results = {}
+        for f in sorted(os.listdir(args.audio_dir)):
+            if not f.endswith(".wav"):
+                continue
+            try:
+                res = tracker.track_file(os.path.join(args.audio_dir, f),
+                                         separation=args.separation, decoder=args.decoder)
+                results[f] = [float(t) for t in res.beat_times]
+            except (ValueError, OSError) as e:
+                results[f] = {"error": str(e)}
+        _dump(args.out, results)
+        print(f"tracked {len(results)} files -> {args.out}")
 
 
 def _load_params(path):
