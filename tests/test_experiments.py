@@ -77,6 +77,16 @@ def test_micro_beat_experiment():
     assert "F1" in s and np.isfinite(s["F1"])
 
 
+def test_demo_suite_corpus_builder():
+    from zeronotesamba_tpu.experiments.demo_suite import _build_corpus
+
+    split, mix = _build_corpus(2, 4.0, bpm_lo=90, bpm_hi=120, click_freq=1500.0, seed=3)
+    assert len(split) == len(mix) == 2
+    assert split[0].vqt.shape[0] == 2 and mix[0].vqt.shape[0] == 1
+    assert split.names == mix.names
+    np.testing.assert_allclose(split[0].pulse, mix[0].pulse)
+
+
 def test_zero_shot_validation_mode():
     ds = build_synthetic(n_songs=2, duration_s=4.0, seed=6)
     cfg = BeatExperimentConfig(status="pretrained", pre="validation", eval_method="threshold",
