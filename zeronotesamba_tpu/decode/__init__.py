@@ -5,6 +5,8 @@ from __future__ import annotations
 import numpy as np
 
 from zeronotesamba_tpu.decode.dbn import DBNBeatDecoderConfig, beat_activation_to_times, decode_beats
+from zeronotesamba_tpu.decode.dbn_jax import decode_beats_batch_device, decode_beats_device
+from zeronotesamba_tpu.decode.dbn_online import OnlineBeatDecoder, decode_beats_online
 from zeronotesamba_tpu.decode.ellis import beat_track_dp, beat_track_signal, estimate_tempo, onset_strength
 
 
@@ -29,6 +31,10 @@ __all__ = [
     "DBNBeatDecoderConfig",
     "beat_activation_to_times",
     "decode_beats",
+    "decode_beats_device",
+    "decode_beats_batch_device",
+    "decode_beats_online",
+    "OnlineBeatDecoder",
     "beat_track_dp",
     "beat_track_signal",
     "estimate_tempo",
