@@ -137,7 +137,6 @@ def decode_beats(
 def _argmax_per_run(beat_range: np.ndarray, act: np.ndarray) -> np.ndarray:
     """One beat per contiguous run of in-beat-window frames, at the activation peak."""
     edges = np.nonzero(np.diff(beat_range.astype(np.int8)))[0] + 1
-    starts = edges[1::2] if not beat_range[0] else np.concatenate([[0], edges[1::2]])
     # Build (start, end) pairs robustly.
     bounds = edges.tolist()
     if beat_range[0]:

@@ -116,6 +116,10 @@ def decode_beats_batch_device(
     _, _, _, positions, _, _, is_beat = _state_space(cfg)
     out = []
     for b, nf in enumerate(n_frames):
+        if nf <= 0:
+            # Guard: bests[b, -1] would backtrack from the last PADDED frame.
+            out.append(np.zeros(0, dtype=np.float64))
+            continue
         path = _backtrack(int(bests[b, nf - 1]), fcs[b, :nf], cfg)
         beat_range = is_beat[path]
         if cfg.correct:

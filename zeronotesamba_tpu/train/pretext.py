@@ -62,8 +62,7 @@ def crop_shifts(
     (pretext.py:307-318); generalized to range(0, T - crop_frames + 1).
     """
     t = bank_item.shape[-1]
-    max_start = t - crop_frames
-    starts = rng.choice(max_start + 1, size=batch_size, replace=max_start + 1 >= batch_size)
+    starts = sample_shifts(t, batch_size, crop_frames, rng)
     return np.stack([bank_item[:, :, s : s + crop_frames] for s in starts])
 
 
@@ -213,6 +212,11 @@ def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
 
 def sample_shifts(bank_frames: int, batch_size: int, crop_frames: int, rng: np.random.Generator) -> np.ndarray:
     """Random shift starts (reference samples from range(0, 313) on 626-frame
-    items, pretext.py:307-318)."""
+    items WITHOUT replacement via random.sample, pretext.py:307-318).
+
+    Sampling without replacement whenever the population allows keeps an
+    anchor's exact positive out of its own negative set; replacement is the
+    fallback only when there are fewer possible starts than batch slots.
+    """
     max_start = bank_frames - crop_frames
-    return rng.choice(max_start + 1, size=batch_size, replace=max_start + 1 >= batch_size).astype(np.int32)
+    return rng.choice(max_start + 1, size=batch_size, replace=max_start + 1 < batch_size).astype(np.int32)

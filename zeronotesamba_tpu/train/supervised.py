@@ -25,6 +25,7 @@ import numpy as np
 from zeronotesamba_tpu.data.datasets import SongRecord
 from zeronotesamba_tpu.decode import decode as decode_beats_fn
 from zeronotesamba_tpu.losses.bce import masked_bce_logits, masked_bce_twin_logits
+from zeronotesamba_tpu.metrics.beat import evaluate_beats
 from zeronotesamba_tpu.models.encoder import DSCNN, FusedDownstream
 from zeronotesamba_tpu.train.state import TrainState, make_optimizer
 
@@ -34,7 +35,7 @@ PAD_VALUE = float(np.log(1e-9))  # the log-VQT silence floor
 
 @dataclasses.dataclass
 class SupervisedConfig:
-    status: str = "vanilla"  # vanilla | pretrained | clmr
+    status: str = "vanilla"  # vanilla | pretrained | clmr | bock
     pre: str = "finetune"  # finetune | frozen
     lr: float = 1e-5
     eval_method: str = "dbn"  # dbn | librosa | threshold
@@ -46,6 +47,12 @@ class SupervisedConfig:
 def make_model(status: str):
     if status == "pretrained":
         return FusedDownstream()
+    if status == "bock":
+        # Böck-style TCN comparison baseline (replaces the reference's madmom
+        # RNNBeatProcessor mode, measures.py:270-277).
+        from zeronotesamba_tpu.models.baseline import BockTCN
+
+        return BockTCN()
     return DSCNN()
 
 
@@ -213,8 +220,6 @@ def run_epoch(
             for b, row in enumerate(rows):
                 act = out_np[b, : bucket.n_frames[row]]
                 est = decode_beats_fn(act, cfg.eval_method, fps=FPS)
-                from zeronotesamba_tpu.metrics.beat import evaluate_beats
-
                 all_scores.append(evaluate_beats(bucket.beat_times[row], est))
     metrics = np.mean(np.asarray(all_scores), axis=0) if all_scores else np.zeros(6)
     return state, float(np.mean(losses)) if losses else 0.0, metrics
