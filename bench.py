@@ -1,16 +1,31 @@
 """Single-chip benchmark: VQT + fused-encoder inference throughput.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "audio_min/s/chip", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "audio_min/s/chip", "vs_baseline": N, ...}
 
 The metric is end-to-end front-end throughput — raw 10 s audio clips through
-the batched multi-rate VQT (ops/vqt.py) and the FusedDownstream twin-encoder
-forward (models/encoder.py) — in minutes of audio processed per second on one
-chip. ``vs_baseline`` compares against the CPU pipeline the reference
-implies (librosa VQT + torch CNN, zeroNoteSamba/processing/input_rep.py +
-models/models.py): here an equivalent numpy multi-rate VQT + torch-CPU
-encoder measured in-process (librosa itself is not installable in this
-image). BASELINE.json's north star is >=20x that CPU number.
+the batched multi-rate VQT and the FusedDownstream twin-encoder forward — in
+minutes of audio processed per second on one chip. ``vs_baseline`` compares
+against the CPU pipeline the reference implies (librosa VQT + torch CNN,
+zeroNoteSamba/processing/input_rep.py + models/models.py): here an
+equivalent numpy multi-rate VQT + torch-CPU encoder measured in-process
+(librosa itself is not installable in this image). BASELINE.json's north
+star is >=20x that CPU number.
+
+Dedup-proofing (the axon relay serves repeated identical (executable, args)
+requests from cache): EVERY timed iteration runs the pipeline on an input
+batch that has never been executed before. Inputs are generated on-device
+(jax.random with distinct keys) and materialized before the clock starts, so
+neither the ~1 MB/s host link nor the RNG shows up in the timing; a 4-byte
+host read per step forces real execution (block_until_ready alone can return
+early through the relay). Sanity rails printed alongside the headline:
+
+- ``tflops``/``mfu``: analytic FLOP count of the measured pipeline (encoder
+  conv MACs + VQT filterbank/decimation MACs) divided by wall time, and that
+  against the chip's bf16 peak;
+- two variants: ``f32`` (XLA VQT + f32 encoder) and ``bf16`` (Pallas fused
+  VQT + bfloat16 MXU encoder, the production inference path). The headline
+  value is the best variant.
 """
 
 from __future__ import annotations
@@ -27,47 +42,91 @@ SR = 16000
 BATCH = 48
 N_FRAMES = 626
 
+# bf16 MXU peak per chip by device kind (TFLOP/s); MFU is reported against
+# this (f32 runs use multi-pass MXU, so bf16 peak is the common denominator).
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v6e": 918.0,
+    "TPU v6 lite": 918.0,
+    "TPU7x": 2307.0,
+}
 
-def _device_pipeline():
+
+def pipeline_flops_per_clip() -> float:
+    """Analytic FLOPs (mul+add = 2) for ONE clip through the measured path:
+    two VQT front-ends + twin 8-conv encoders + heads."""
+    from zeronotesamba_tpu.models.encoder import CONV_SPECS, POOL_AFTER, EMBED_DIM
+    from zeronotesamba_tpu.ops.filterbank import XQTParams, halfband_decimation_filter
+
+    t = N_FRAMES
+    # Encoder: SAME conv at input height h, pool after POOL_AFTER layers.
+    macs_frame = 0
+    h, cin = 96, 1
+    for i, (cout, (kh, kw)) in enumerate(CONV_SPECS):
+        macs_frame += kh * kw * cin * cout * h
+        if i in POOL_AFTER:
+            h //= POOL_AFTER[i]
+        cin = cout
+    enc = 2.0 * macs_frame * t + 2.0 * EMBED_DIM * t  # + 1x1 head
+    # VQT: per octave a (2*bpo, W) filterbank at T frames, plus the halfband
+    # decimation cascade over the (padded) signal.
+    p = XQTParams()
+    vqt = 0.0
+    n_samp = int(CLIP_S * SR) + 2 * ((p.window_len // 2 + 1) << (p.n_octaves - 1))
+    for j in range(p.n_octaves):
+        vqt += 2.0 * (2 * p.bins_per_octave) * p.window_len * t
+        if j < p.n_octaves - 1:
+            vqt += 2.0 * len(halfband_decimation_filter()) * (n_samp >> (j + 1))
+    return 2.0 * (enc + vqt)  # two streams (anchor + positive)
+
+
+def _device_pipeline(variant: str):
     import jax
     import jax.numpy as jnp
 
     from zeronotesamba_tpu.models.encoder import FusedDownstream
     from zeronotesamba_tpu.ops.filterbank import XQTParams
     from zeronotesamba_tpu.ops.vqt import log_xqt
+    from zeronotesamba_tpu.ops.pallas.vqt_kernel import log_xqt_pallas
 
     params_x = XQTParams()
-    model = FusedDownstream()
+    dtype = jnp.bfloat16 if variant == "bf16" else jnp.float32
+    model = FusedDownstream(compute_dtype=dtype)
+    front = log_xqt_pallas if variant == "bf16" else log_xqt
     t = N_FRAMES
     mparams = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 96, t, 1)), jnp.zeros((1, 96, t, 1)))
 
     @jax.jit
     def pipeline(mp, anc_sig, pos_sig):
-        va = log_xqt(anc_sig, params_x)[:, :, :, None]
-        vp = log_xqt(pos_sig, params_x)[:, :, :, None]
+        va = front(anc_sig, params_x)[:, :, :, None]
+        vp = front(pos_sig, params_x)[:, :, :, None]
         return model.apply(mp, va, vp)
 
     return pipeline, mparams
 
 
-def bench_device(n_iters: int = 8, n_distinct: int = 2) -> float:
+def bench_device(variant: str = "f32", n_iters: int = 8, warmup: int = 2) -> float:
+    """audio-min/s with a never-before-executed input batch per timed step."""
     import jax
-    import jax.numpy as jnp
 
-    pipeline, mparams = _device_pipeline()
-    rng = np.random.default_rng(0)
-    # Several distinct pre-staged input batches, cycled: the axon relay
-    # serves repeated identical (executable, args) requests from cache, so a
-    # single reused batch measures nothing. A 4-byte host read per step
-    # forces materialization (block_until_ready alone is unreliable there).
-    ancs = [jnp.asarray(rng.standard_normal((BATCH, int(CLIP_S * SR))).astype(np.float32)) for _ in range(n_distinct)]
-    poss = [jnp.asarray(rng.standard_normal((BATCH, int(CLIP_S * SR))).astype(np.float32)) for _ in range(n_distinct)]
-    for i in range(n_distinct):  # compile + stage every batch server-side
-        float(pipeline(mparams, ancs[i], poss[i])[0, 0])
+    pipeline, mparams = _device_pipeline(variant)
+    n_samp = int(CLIP_S * SR)
+    key = jax.random.PRNGKey(42)
+    keys = jax.random.split(key, 2 * (warmup + n_iters))
+    # Distinct on-device batches, materialized BEFORE the clock: dedup-proof
+    # (fresh (executable, args) pair each call) without host-link uploads.
+    batches = [jax.random.normal(k, (BATCH, n_samp), dtype=np.float32) for k in keys]
+    jax.block_until_ready(batches)
+    for i in range(warmup):
+        float(pipeline(mparams, batches[2 * i], batches[2 * i + 1])[0, 0])
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = pipeline(mparams, ancs[i % n_distinct], poss[i % n_distinct])
-        float(out[0, 0])
+    for i in range(warmup, warmup + n_iters):
+        out = pipeline(mparams, batches[2 * i], batches[2 * i + 1])
+        float(out[0, 0])  # 4-byte host read: forces execution through the relay
     dt = time.perf_counter() - t0
     audio_minutes = n_iters * BATCH * CLIP_S / 60.0
     return audio_minutes / dt
@@ -155,18 +214,39 @@ def bench_cpu_baseline(n_clips: int = 4) -> float:
 
 
 def main():
-    device_tput = bench_device()
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    peak = _PEAK_TFLOPS.get(kind, 275.0)
+    flops_clip = pipeline_flops_per_clip()
+
+    results = {}
+    for variant in ("f32", "bf16"):
+        try:
+            results[variant] = bench_device(variant)
+        except Exception as e:  # e.g. Pallas unsupported on a backend
+            results[variant] = None
+            results[f"{variant}_error"] = f"{type(e).__name__}: {e}"[:200]
+    best_variant = max((v for v in ("f32", "bf16") if results.get(v)), key=lambda v: results[v])
+    tput = results[best_variant]
+    clips_per_s = tput * 60.0 / CLIP_S
+    tflops = flops_clip * clips_per_s / 1e12
     cpu_tput = bench_cpu_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "vqt_encoder_throughput",
-                "value": round(device_tput, 3),
-                "unit": "audio_min/s/chip",
-                "vs_baseline": round(device_tput / cpu_tput, 2),
-            }
-        )
-    )
+
+    out = {
+        "metric": "vqt_encoder_throughput",
+        "value": round(tput, 3),
+        "unit": "audio_min/s/chip",
+        "vs_baseline": round(tput / cpu_tput, 2),
+        "variant": best_variant,
+        "f32_audio_min_s": round(results["f32"], 3) if results.get("f32") else results.get("f32_error"),
+        "bf16_audio_min_s": round(results["bf16"], 3) if results.get("bf16") else results.get("bf16_error"),
+        "tflops": round(tflops, 2),
+        "mfu": round(tflops / peak, 4),
+        "device": kind,
+        "flops_per_clip_g": round(flops_clip / 1e9, 1),
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
