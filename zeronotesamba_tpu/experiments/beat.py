@@ -35,7 +35,7 @@ log = get_logger("experiments.beat")
 
 @dataclasses.dataclass
 class BeatExperimentConfig:
-    status: str = "vanilla"  # vanilla | pretrained | clmr
+    status: str = "vanilla"  # vanilla | pretrained | clmr | bock (TCN baseline)
     pre: str = "finetune"  # finetune | frozen | validation
     lr: float = 1e-5
     eval_method: str = "dbn"

@@ -1,3 +1,4 @@
+from zeronotesamba_tpu.models.baseline import BockTCN
 from zeronotesamba_tpu.models.encoder import (
     CONV_SPECS,
     EMBED_DIM,
@@ -14,6 +15,7 @@ __all__ = [
     "EMBED_DIM",
     "POOL_AFTER",
     "BeatHead",
+    "BockTCN",
     "DSCNN",
     "Encoder",
     "FusedDownstream",
