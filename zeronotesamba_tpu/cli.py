@@ -42,7 +42,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("beat", help="8-fold CV beat experiment")
     t.add_argument("--data", required=True, help="npz cache directory")
-    t.add_argument("--status", default="vanilla", choices=["vanilla", "pretrained", "clmr"])
+    t.add_argument("--status", default="vanilla", choices=["vanilla", "pretrained", "clmr", "bock"])
     t.add_argument("--pre", default="finetune", choices=["finetune", "frozen", "validation"])
     t.add_argument("--lr", type=float, default=1e-5)
     t.add_argument("--eval", default="dbn", choices=["dbn", "librosa", "threshold"])
@@ -119,6 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--separation", default="hpss", choices=["hpss", "stems", "mix"])
     i.add_argument("--decoder", default="dbn", choices=["dbn", "librosa", "threshold"])
     i.add_argument("--out", default=None, help="write JSON result here")
+
+    rs = sub.add_parser("resave", help="re-sample every wav under a directory tree")
+    rs.add_argument("audio_root", help="directory tree of .wav files")
+    rs.add_argument("--out", required=True, help="output root (structure preserved)")
+    rs.add_argument("--rate", type=int, default=44100, help="target sample rate")
 
     td = sub.add_parser("track-dir", help="batch-track every wav in a directory")
     td.add_argument("audio_dir")
@@ -325,6 +330,26 @@ def main(argv=None):
         }
         print(json.dumps(payload))
         _dump(args.out, payload)
+
+    elif args.cmd == "resave":
+        # Dataset re-sample utility (reference measures.gtzan_44100,
+        # zeroNoteSamba/measures.py:280-305 — generalized to any tree/rate).
+        import os
+
+        from zeronotesamba_tpu.data import audio_io
+
+        n = 0
+        for dirpath, _, files in os.walk(args.audio_root):
+            rel = os.path.relpath(dirpath, args.audio_root)
+            for f in sorted(files):
+                if not f.endswith(".wav"):
+                    continue
+                sig, _ = audio_io.load_audio(os.path.join(dirpath, f), target_sr=args.rate)
+                out_dir = os.path.join(args.out, rel) if rel != "." else args.out
+                os.makedirs(out_dir, exist_ok=True)
+                audio_io.write_wav(os.path.join(out_dir, f), sig, args.rate)
+                n += 1
+        print(f"resaved {n} files at {args.rate} Hz -> {args.out}")
 
     elif args.cmd == "track-dir":
         import os
