@@ -94,3 +94,31 @@ def test_zero_shot_validation_mode():
     results = run_beat_experiment(ds, cfg)
     assert len(results) == 1
     assert results[0].test_metrics.shape == (6,)
+
+
+def test_two_fold_cv_actually_trains():
+    """Regression: at n_folds=2 the round-1 val-split formula consumed the
+    whole training half (zero train songs -> untrained model -> the recorded
+    cross-dataset 'collapse'). Every fold must keep >= 1 training song and
+    the params must move."""
+    import jax
+    import numpy as np
+
+    from zeronotesamba_tpu.data.datasets import build_synthetic
+    from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig, run_beat_experiment
+    from zeronotesamba_tpu.train.supervised import SupervisedConfig, init_state
+
+    ds = build_synthetic(n_songs=6, duration_s=4.0)
+    cfg = BeatExperimentConfig(status="vanilla", lr=1e-3, n_folds=2, max_epochs=1,
+                               patience=1, batch_size=2, eval_method="threshold", seed=0)
+    results = run_beat_experiment(ds, cfg, progress=False)
+    assert len(results) == 2
+    assert all(r.epochs_run >= 1 for r in results)
+
+    # Degenerate split (2 songs, 2 folds) must raise, not silently skip
+    # training the way the old formula did.
+    import pytest
+
+    tiny = build_synthetic(n_songs=2, duration_s=4.0)
+    with pytest.raises(ValueError, match="no training songs"):
+        run_beat_experiment(tiny, cfg, progress=False)

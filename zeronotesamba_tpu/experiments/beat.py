@@ -102,8 +102,15 @@ def run_beat_experiment(
         test_names = splits[fold]
         train_names = [n for i, s in enumerate(splits) if i != fold for n in s]
         rng.shuffle(train_names)
-        n_val = round(len(ds.names) / cfg.n_folds)
+        # One fold's worth of the REMAINING songs as validation (reference
+        # semantics at 8 folds: 6/8 train, 1/8 val, 1/8 test). Deriving it
+        # from the total instead (round(len/n_folds)) consumes the whole
+        # train half at n_folds=2 and silently trains on ZERO songs — the
+        # round-1 cross-dataset "collapse" was exactly this.
+        n_val = max(1, round(len(train_names) / cfg.n_folds))
         val_names, train_names = train_names[:n_val], train_names[n_val:]
+        if not train_names:
+            raise ValueError(f"fold {fold}: no training songs left (n={len(ds.names)}, folds={cfg.n_folds})")
 
         state = init_state(sup_cfg, ds[0], jax.random.PRNGKey(cfg.seed + fold), params=init_params)
         val_plan = staged.plan(val_names, cfg.batch_size)

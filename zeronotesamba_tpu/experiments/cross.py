@@ -44,8 +44,13 @@ def run_cross_experiment(
     for fold in range(cfg.n_folds):
         train_names = [n for i, s in enumerate(splits) if i != fold for n in s]
         rng.shuffle(train_names)
-        n_val = round(len(train_ds.names) / cfg.n_folds)
+        # Val = one fold's worth of the remaining songs (see beat.py: the
+        # round-1 formula left ZERO training songs at n_folds=2, which is
+        # what collapsed the recorded cross-dataset result).
+        n_val = max(1, round(len(train_names) / cfg.n_folds))
         val_names, train_names = train_names[:n_val], train_names[n_val:]
+        if not train_names:
+            raise ValueError(f"fold {fold}: no training songs left (folds={cfg.n_folds})")
 
         state = init_state(sup_cfg, train_ds[0], jax.random.PRNGKey(cfg.seed + fold), params=init_params)
         val_plan = staged_train.plan(val_names, cfg.batch_size)
