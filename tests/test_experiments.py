@@ -80,7 +80,7 @@ def test_micro_beat_experiment():
 def test_demo_suite_corpus_builder():
     from zeronotesamba_tpu.experiments.demo_suite import _build_corpus
 
-    split, mix = _build_corpus(2, 4.0, bpm_lo=90, bpm_hi=120, click_freq=1500.0, seed=3)
+    split, mix = _build_corpus(2, 4.0, bpm_lo=90, bpm_hi=120, freq_lo=1200.0, freq_hi=2200.0, seed=3)
     assert len(split) == len(mix) == 2
     assert split[0].vqt.shape[0] == 2 and mix[0].vqt.shape[0] == 1
     assert split.names == mix.names

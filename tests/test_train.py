@@ -181,3 +181,40 @@ def test_checkpoint_roundtrip(tmp_path, tiny_ds):
     np.testing.assert_array_equal(
         np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(jax.tree.leaves(params2)[0])
     )
+
+
+def test_bce_pos_weight_semantics():
+    """pos_weight=1 is exact logits-space BCE; w>1 is torch BCEWithLogitsLoss
+    pos_weight semantics (hand-computed single-frame cases)."""
+    from zeronotesamba_tpu.losses.bce import masked_bce, masked_bce_logits, masked_bce_twin_logits
+
+    rng = np.random.default_rng(7)
+    l = jnp.asarray(rng.standard_normal((2, 16)) * 3)
+    t = jnp.asarray((rng.uniform(size=(2, 16)) < 0.2).astype(np.float32))
+    m = jnp.asarray((rng.uniform(size=(2, 16)) < 0.9).astype(np.float32))
+    np.testing.assert_allclose(
+        float(masked_bce_logits(l, t, m, 1.0)), float(masked_bce(jax.nn.sigmoid(l), t, m)), rtol=1e-5
+    )
+    # l=0, t=1: loss = w * log 2 exactly.
+    w = 8.0
+    got = float(masked_bce_logits(jnp.zeros((1, 1)), jnp.ones((1, 1)), None, w))
+    np.testing.assert_allclose(got, w * np.log(2.0), rtol=1e-6)
+    # twin max fusion with pos_weight == logits BCE of the elementwise max.
+    lb = l - 0.5
+    np.testing.assert_allclose(
+        float(masked_bce_twin_logits(l, lb, t, m, pos_weight=w)),
+        float(masked_bce_logits(jnp.maximum(l, lb), t, m, w)),
+        rtol=1e-6,
+    )
+
+
+def test_supervised_pos_weight_trains(tiny_ds):
+    """run_epoch with pos_weight>1 still decreases the (weighted) loss."""
+    cfg = SupervisedConfig(status="vanilla", lr=1e-3, batch_size=2, pos_weight=8.0)
+    staged = StagedDataset(tiny_ds.records, cfg.bucket_frames)
+    state = init_state(cfg, tiny_ds[0], jax.random.PRNGKey(0))
+    plan = staged.plan(tiny_ds.names, cfg.batch_size)
+    state, loss0, _ = run_epoch(state, staged, plan, cfg, train=True, epoch=0, score=False)
+    for e in range(1, 4):
+        state, loss, _ = run_epoch(state, staged, plan, cfg, train=True, epoch=e, score=False)
+    assert np.isfinite(loss) and loss < loss0

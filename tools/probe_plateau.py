@@ -1,0 +1,143 @@
+"""Plateau-escape probe for supervised training on harmonic-click corpora.
+
+Half the CV folds in the round-2 demo suite stalled at the BCE base rate for
+20+ epochs on the harmonic-click corpus (pure-tone corpora trained fine), so
+early stopping killed them at floor F1. This probe trains one fixed split
+under a grid of (lr, pos_weight) variants x param seeds and reports the
+epoch at which val F1 crosses 0.9 ("breakthrough"), so the demo suite can
+adopt whichever variant escapes reliably. ``--pretext`` instead probes
+demo-scale pretext learning rates (zero-shot F1 per lr).
+
+Usage: python tools/probe_plateau.py [--epochs 40] [--seeds 0,1] [--pretext]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def build_corpora(n: int, seed: int):
+    """(split_ds, mix_ds) with per-song random fundamentals (demo-suite corpus A)."""
+    from zeronotesamba_tpu.data.datasets import BeatDataset, SongRecord
+    from zeronotesamba_tpu.data.pulse import beat_pulse
+    from zeronotesamba_tpu.data.synthetic import percussive_pair
+    from zeronotesamba_tpu.ops.vqt import generate_xqt
+
+    rng = np.random.default_rng(seed)
+    split, mix = BeatDataset(), BeatDataset()
+    for i in range(n):
+        bpm = float(rng.uniform(70, 180))
+        freq = float(np.exp(rng.uniform(np.log(1200.0), np.log(2200.0))))
+        anchor, positive, beats = percussive_pair(12.0, bpm, seed=seed * 10007 + i,
+                                                  harmonics=5, click_freq=freq)
+        vq_a = generate_xqt(anchor, 16000, "vqt")
+        vq_p = generate_xqt(positive, 16000, "vqt")
+        vq_m = generate_xqt((anchor + positive).astype(np.float32), 16000, "vqt")
+        t = vq_m.shape[-1]
+        common = dict(pulse=beat_pulse(beats, t, 62.5), down_pulse=np.zeros(t, np.float32),
+                      beat_times=np.asarray(beats), downbeat_times=np.zeros(0))
+        split.add(SongRecord(name=f"m{i:03d}", vqt=np.stack([vq_a, vq_p]), **common))
+        mix.add(SongRecord(name=f"m{i:03d}", vqt=vq_m[None], **common))
+    return split, mix
+
+
+def run_variant(staged, ds, train_names, val_names, *, lr, pos_weight, seed, epochs):
+    import jax
+
+    from zeronotesamba_tpu.train.supervised import SupervisedConfig, init_state, run_epoch
+
+    cfg = SupervisedConfig(status="vanilla", lr=lr, batch_size=8, pos_weight=pos_weight)
+    state = init_state(cfg, ds[0], jax.random.PRNGKey(seed))
+    rng_np = np.random.default_rng(seed + 500)
+    val_plan = staged.plan(val_names, cfg.batch_size)
+    hist, breakthrough = [], None
+    for epoch in range(epochs):
+        plan = staged.plan(train_names, cfg.batch_size, shuffle_rng=rng_np)
+        state, tr_loss, _ = run_epoch(state, staged, plan, cfg, train=True, epoch=epoch, score=False)
+        if epoch % 2 == 1 or epoch == epochs - 1:
+            _, _, vm = run_epoch(state, staged, val_plan, cfg, train=False, score=True)
+            hist.append((epoch, round(tr_loss, 4), round(float(vm[0]), 3)))
+            if breakthrough is None and vm[0] > 0.9:
+                breakthrough = epoch
+    return {"breakthrough_epoch": breakthrough, "tail": hist[-4:]}
+
+
+def probe_supervised(args):
+    from zeronotesamba_tpu.train.supervised import StagedDataset
+
+    _, mix = build_corpora(args.songs, seed=1)
+    names = list(mix.names)
+    train_names, val_names = names[: args.songs - 4], names[args.songs - 4 :]
+    staged = StagedDataset(mix.records, 128)
+
+    variants = {
+        "lr2e-4_pw1": dict(lr=2e-4, pos_weight=1.0),
+        "lr2e-4_pw8": dict(lr=2e-4, pos_weight=8.0),
+        "lr5e-4_pw1": dict(lr=5e-4, pos_weight=1.0),
+        "lr5e-4_pw8": dict(lr=5e-4, pos_weight=8.0),
+    }
+    report = {}
+    for name, kw in variants.items():
+        rows = {}
+        for seed in [int(s) for s in args.seeds.split(",")]:
+            t0 = time.time()
+            r = run_variant(staged, mix, train_names, val_names, seed=seed, epochs=args.epochs, **kw)
+            rows[seed] = {**r, "wall_s": round(time.time() - t0, 1)}
+            print(json.dumps({name: {seed: rows[seed]}}), flush=True)
+        report[name] = rows
+    print("=== SUPERVISED FINAL ===")
+    print(json.dumps(report, indent=2))
+
+
+def probe_pretext(args):
+    """Zero-shot F1 of the pretext model per demo-scale lr."""
+    import jax
+
+    from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig, run_beat_experiment
+    from zeronotesamba_tpu.experiments.pretext_driver import PretextRunConfig, train_pretext
+
+    split, _ = build_corpora(args.songs, seed=1)
+    bank = np.stack([r.vqt for r in split]).astype(np.float32)
+    n_val = max(2, len(bank) // 8)
+    report = {}
+    for lr in (1e-6, 1e-5, 3e-5, 1e-4):
+        t0 = time.time()
+        cfg = PretextRunConfig(task="zerons", num_epochs=args.epochs_pretext, batch_size=16, lr=lr, seed=0)
+        params, hist = train_pretext(bank[n_val:], bank[:n_val], cfg)
+        fused = {"params": {"pretext": params["params"]}}
+        zcfg = BeatExperimentConfig(status="pretrained", pre="validation", eval_method="dbn", batch_size=8)
+        res = run_beat_experiment(split, zcfg, init_params=fused, progress=False)
+        report[f"lr{lr:g}"] = {
+            "val_first": round(hist["val_loss"][0], 4), "val_best": round(min(hist["val_loss"]), 4),
+            "pos_final": round(hist["val_pos"][-1], 3), "neg_final": round(hist["val_neg"][-1], 3),
+            "zero_shot_f1": round(float(res[0].test_metrics[0]), 4),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(json.dumps({f"lr{lr:g}": report[f"lr{lr:g}"]}), flush=True)
+    print("=== PRETEXT FINAL ===")
+    print(json.dumps(report, indent=2))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--epochs-pretext", type=int, default=10)
+    ap.add_argument("--seeds", default="0,1")
+    ap.add_argument("--songs", type=int, default=18)
+    ap.add_argument("--pretext", action="store_true")
+    args = ap.parse_args()
+    if args.pretext:
+        probe_pretext(args)
+    else:
+        probe_supervised(args)
+
+
+if __name__ == "__main__":
+    main()

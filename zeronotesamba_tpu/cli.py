@@ -98,7 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser("measures", help="embedding information measures")
     m.add_argument("--data", default=None, help="npz dataset cache (not needed for --status std)")
-    m.add_argument("--status", default="van", help="reference meastatus label (van/rand/drums/ros/mix/std)")
+    m.add_argument("--status", default="van", help="reference meastatus label (van/rand/drums/ros/mix/std/bock)")
+    m.add_argument("--model", default=None, choices=["vanilla", "pretrained", "bock"],
+                   help="override the model family (default: inferred from the data; "
+                        "'bock' measures the TCN baseline's activations, reference measures.py:270-277)")
     m.add_argument("--stream", default="fused", choices=["fused", "anchor", "positive"],
                    help="which pulse to measure (reference drums=positive, ros=anchor, mix=fused)")
     m.add_argument("--bank", default=None, help="npz bank with val_bank array (--status std)")
@@ -111,6 +114,7 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--pretext-epochs", type=int, default=10)
     d.add_argument("--max-epochs", type=int, default=60)
     d.add_argument("--folds", type=int, default=4)
+    d.add_argument("--clmr", action="store_true", help="also run the CLMR pretext + finetune arm")
     _add_common(d)
 
     i = sub.add_parser("infer", help="track one audio file")
@@ -276,7 +280,7 @@ def main(argv=None):
         if not args.data:
             raise SystemExit("--data required (except for --status std)")
         ds = BeatDataset.load(args.data)
-        status = "pretrained" if ds[0].vqt.shape[0] == 2 else "vanilla"
+        status = args.model or ("pretrained" if ds[0].vqt.shape[0] == 2 else "vanilla")
         cfg = SupervisedConfig(status=status)
         state = init_state(cfg, ds[0], jax.random.PRNGKey(0), params=_load_params(args.params))
         staged = StagedDataset(ds.records, cfg.bucket_frames)
@@ -315,7 +319,7 @@ def main(argv=None):
 
         cfg = DemoSuiteConfig(
             out_dir=args.out, n_songs=args.songs, pretext_epochs=args.pretext_epochs,
-            max_epochs=args.max_epochs, folds=args.folds, seed=args.seed,
+            max_epochs=args.max_epochs, folds=args.folds, clmr=args.clmr, seed=args.seed,
         )
         print(json.dumps(run_demo_suite(cfg), indent=2))
 

@@ -72,14 +72,28 @@ def click_track(
 
 
 def percussive_pair(
-    duration_s: float, bpm: float, sr: int = 16000, seed: int = 0, *, harmonics: int = 1
+    duration_s: float,
+    bpm: float,
+    sr: int = 16000,
+    seed: int = 0,
+    *,
+    harmonics: int = 1,
+    click_freq: float = 1500.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(anchor, positive, beat_times): harmonic-only vs percussive-only stems.
 
     Mimics the pretext pair structure (drums stem vs rest-of-signal,
     reference pretext.py:30-86) for contrastive-training tests.
+    ``click_freq`` sets the percussive fundamental — vary it per song so a
+    corpus carries timbre diversity like a real dataset (each Ballroom/GTZAN
+    song has its own drum sound); a corpus with ONE global click frequency
+    lets the encoder memorize exact VQT bins, which destroys cross-corpus
+    transfer in a way the reference's cross_data.xlsx never exhibits.
     """
-    clicks, beats = click_track(duration_s, bpm, sr, accomp=False, noise=0.0, harmonics=harmonics, seed=seed)
+    clicks, beats = click_track(
+        duration_s, bpm, sr, accomp=False, noise=0.0, harmonics=harmonics,
+        click_freq=click_freq, seed=seed,
+    )
     harm, _ = click_track(duration_s, bpm, sr, click_freq=0.0, click_len_s=1e-4, accomp=True, seed=seed + 1)
     rng = np.random.default_rng(seed + 2)
     # Amplitude-modulate the harmonic stem at the beat rate so both streams

@@ -45,6 +45,7 @@ class BeatExperimentConfig:
     batch_size: int = 8
     bucket_frames: int = 128
     seed: int = 0
+    pos_weight: float = 1.0  # positive-class BCE weight (losses/bce.py)
     score_train: bool = False  # the reference scores beats inside the train
     # loop every epoch (epochs.py:83-91); off by default for speed
 
@@ -82,6 +83,7 @@ def run_beat_experiment(
         batch_size=cfg.batch_size,
         bucket_frames=cfg.bucket_frames,
         dropout_seed=cfg.seed,
+        pos_weight=cfg.pos_weight,
     )
 
     staged = StagedDataset(ds.records, cfg.bucket_frames)  # device-resident, once
@@ -116,10 +118,18 @@ def run_beat_experiment(
         val_plan = staged.plan(val_names, cfg.batch_size)
         test_plan = staged.plan(test_names, cfg.batch_size)
 
-        best_f1 = -1.0
-        best_params = state.params
+        # The INITIAL params are the first best-checkpoint candidate: the
+        # first supervised epochs pull outputs toward the all-zeros base rate
+        # (losses/bce.py), which can wipe out a pretrained init's zero-shot
+        # pulse before training relearns it — the reference never validates
+        # its init (beat_down.py:101-151 trains first), so a pretrained fold
+        # could end BELOW its own zero-shot quality. Scoring epoch "-1" makes
+        # best-checkpoint selection monotone in what the model ever achieved.
+        _, _, init_metrics = run_epoch(state, staged, val_plan, sup_cfg, train=False, score=True)
+        best_f1 = float(init_metrics[0])
+        best_params = jax.tree.map(lambda x: x.copy(), state.params)
         stale = 0
-        epoch = 0
+        epoch = -1
         shuffle_rng = np.random.default_rng(cfg.seed * 1000 + fold)
         for epoch in range(cfg.max_epochs):
             train_plan = staged.plan(train_names, cfg.batch_size, shuffle_rng=shuffle_rng)

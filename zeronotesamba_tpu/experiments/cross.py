@@ -33,6 +33,7 @@ def run_cross_experiment(
     sup_cfg = SupervisedConfig(
         status=cfg.status, pre=cfg.pre, lr=cfg.lr, eval_method=cfg.eval_method,
         batch_size=cfg.batch_size, bucket_frames=cfg.bucket_frames, dropout_seed=cfg.seed,
+        pos_weight=cfg.pos_weight,
     )
     rng = random.Random(cfg.seed)
     splits = _folds(train_ds.names, cfg.n_folds, rng)
@@ -55,7 +56,11 @@ def run_cross_experiment(
         state = init_state(sup_cfg, train_ds[0], jax.random.PRNGKey(cfg.seed + fold), params=init_params)
         val_plan = staged_train.plan(val_names, cfg.batch_size)
 
-        best_f1, best_params, stale, epoch = -1.0, state.params, 0, 0
+        # Init params are the first best-checkpoint candidate (see beat.py).
+        _, _, ivm = run_epoch(state, staged_train, val_plan, sup_cfg, train=False, score=True)
+        best_f1 = float(ivm[0])
+        best_params = jax.tree.map(lambda x: x.copy(), state.params)
+        stale, epoch = 0, -1
         shuffle_rng = np.random.default_rng(cfg.seed * 977 + fold)
         for epoch in range(cfg.max_epochs):
             tp = staged_train.plan(train_names, cfg.batch_size, shuffle_rng)

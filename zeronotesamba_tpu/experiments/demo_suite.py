@@ -58,35 +58,42 @@ class DemoSuiteConfig:
     patience: int = 20  # the reference's early-stop budget (beat_down.py:135-151);
     # shorter budgets kill folds on the pre-breakthrough loss plateau
     batch_size: int = 8
+    pos_weight: float = 8.0  # ~1/positive-rate class balancing for the
+    # supervised arms (losses/bce.py): removes the base-rate plateau that
+    # stalled ~half the CV folds at demo scale (w=1 = reference parity)
+    pretext_lr: float = 3e-5  # demo-scale pretext lr (PretextRunConfig.lr
+    # rationale: ~1e2 steps here vs the reference's ~3e5 at 1e-6)
     few_shot_sizes: tuple = (1, 2, 4)
     few_shot_repeats: int = 2
+    clmr: bool = False  # also run the CLMR-style pretext + finetune arm
     seed: int = 0
 
 
-def _build_corpus(n: int, duration_s: float, *, bpm_lo: float, bpm_hi: float, click_freq: float, seed: int):
+def _build_corpus(n: int, duration_s: float, *, bpm_lo: float, bpm_hi: float, freq_lo: float, freq_hi: float, seed: int):
     """Paired datasets over the SAME songs: split (anchor/positive) + mix.
 
-    Clicks carry 5 harmonics (data/synthetic.py rationale): corpora with
-    different fundamentals then overlap spectrally like two real drum kits —
-    a FAIR domain shift. Round 1 used pure tones, and the 800 vs 1500 Hz
-    corpora shared literally zero click bins, which collapsed cross-dataset
-    transfer (F1 0.313, VERDICT r1 weak #3) in a way no real dataset pair in
-    the reference's cross_data.xlsx does.
+    Clicks carry 5 harmonics, and every song draws its OWN percussive
+    fundamental from [freq_lo, freq_hi] (log-uniform). Both properties make
+    the corpora behave like real datasets: (a) harmonics spread click energy
+    over octaves so different corpora overlap spectrally like two drum kits;
+    (b) per-song timbre diversity forces the encoder to learn
+    frequency-INVARIANT onset features instead of memorizing the exact VQT
+    bins of one global click frequency. Round 1 violated (a) (pure tones,
+    zero shared bins between corpora) and round 2's first attempt violated
+    (b) (one fixed fundamental per corpus) — each collapsed cross-dataset
+    transfer (F1 0.31/0.34, CMLc 0) in a way no dataset pair in the
+    reference's cross_data.xlsx does (GTZAN F1 0.748-0.826 from foreign
+    training sets, cross_data.py:15-206).
     """
-    from zeronotesamba_tpu.data.synthetic import click_track
-
     rng = np.random.default_rng(seed)
     split = BeatDataset()
     mix = BeatDataset()
     for i in range(n):
         bpm = float(rng.uniform(bpm_lo, bpm_hi))
-        anchor, positive, beats = percussive_pair(duration_s, bpm, seed=seed * 10007 + i, harmonics=5)
-        # Re-synthesize the percussive stream's click timbre per corpus.
-        if click_freq != 1500.0:
-            positive, beats = click_track(
-                duration_s, bpm, accomp=False, noise=0.0, click_freq=click_freq,
-                harmonics=5, seed=seed * 10007 + i,
-            )
+        freq = float(np.exp(rng.uniform(np.log(freq_lo), np.log(freq_hi))))
+        anchor, positive, beats = percussive_pair(
+            duration_s, bpm, seed=seed * 10007 + i, harmonics=5, click_freq=freq,
+        )
         vq_a = generate_xqt(anchor, 16000, "vqt")
         vq_p = generate_xqt(positive, 16000, "vqt")
         vq_m = generate_xqt((anchor + positive).astype(np.float32), 16000, "vqt")
@@ -112,14 +119,21 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
     t_start = time.time()
 
     log.info("building corpora...")
-    split_a, mix_a = _build_corpus(cfg.n_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180, click_freq=1500.0, seed=cfg.seed + 1)
-    split_b, mix_b = _build_corpus(cfg.n_songs_b, cfg.duration_s, bpm_lo=60, bpm_hi=140, click_freq=800.0, seed=cfg.seed + 2)
+    # Corpus A ~ "GTZAN": brighter kit family; corpus B ~ "Ballroom": darker
+    # kit family + shifted tempo range. The families are disjoint but their
+    # harmonics overlap (B's partials 2-5 cover 1.1-5.2 kHz vs A's
+    # fundamentals 1.2-2.2 kHz) — a fair cross-dataset shift.
+    split_a, mix_a = _build_corpus(cfg.n_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
+                                   freq_lo=1200.0, freq_hi=2200.0, seed=cfg.seed + 1)
+    split_b, mix_b = _build_corpus(cfg.n_songs_b, cfg.duration_s, bpm_lo=60, bpm_hi=140,
+                                   freq_lo=550.0, freq_hi=1050.0, seed=cfg.seed + 2)
 
     # 1. Pretext pretraining on corpus-A stem pairs.
     log.info("pretext pretraining...")
     bank = np.stack([r.vqt for r in split_a]).astype(np.float32)
     n_val = max(2, len(bank) // 8)
     pre_cfg = PretextRunConfig(task="zerons", num_epochs=cfg.pretext_epochs, batch_size=16, seed=cfg.seed,
+                               lr=cfg.pretext_lr,
                                checkpoint_path=os.path.join(cfg.out_dir, "pretext_ckpt"))
     best_params, hist = train_pretext(bank[n_val:], bank[:n_val], pre_cfg)
     results["pretext"] = {
@@ -145,7 +159,7 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
     log.info("supervised CV (vanilla)...")
     bcfg = BeatExperimentConfig(status="vanilla", lr=2e-4, eval_method="dbn", n_folds=cfg.folds,
                                 max_epochs=cfg.max_epochs, patience=cfg.patience,
-                                batch_size=cfg.batch_size, seed=cfg.seed)
+                                batch_size=cfg.batch_size, pos_weight=cfg.pos_weight, seed=cfg.seed)
     res_van = run_beat_experiment(mix_a, bcfg, progress=False)
     log.info("supervised CV (pretrained finetune)...")
     pcfg = dataclasses.replace(bcfg, status="pretrained", lr=2e-3)  # eff lr = 0.05*lr rule
@@ -190,6 +204,23 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
     }
     with open(os.path.join(cfg.out_dir, "few_shot_comparison.json"), "w") as fh:
         json.dump(results["few_shot"], fh, indent=2)
+
+    # 5b. Optional CLMR arm: same-mix two-crop pretext (reference
+    # fma_loader.gen_clmr, lr 1e-5 / finetune 0.5*lr rules) + supervised CV.
+    if cfg.clmr:
+        log.info("clmr pretext + finetune...")
+        cl_bank = np.stack([np.concatenate([r.vqt, r.vqt], axis=0) for r in mix_a]).astype(np.float32)
+        n_val_c = max(2, len(cl_bank) // 8)
+        cl_cfg = PretextRunConfig(task="clmr", num_epochs=cfg.pretext_epochs, batch_size=16,
+                                  lr=cfg.pretext_lr, seed=cfg.seed,
+                                  checkpoint_path=os.path.join(cfg.out_dir, "clmr_ckpt"))
+        cl_params, cl_hist = train_pretext(cl_bank[n_val_c:], cl_bank[:n_val_c], cl_cfg)
+        clcfg = dataclasses.replace(bcfg, status="clmr", lr=2e-4)
+        res_clmr = run_beat_experiment(mix_a, clcfg, init_params=cl_params, progress=False)
+        results["clmr"] = {
+            "pretext_val_best": round(min(cl_hist["val_loss"]), 4),
+            "supervised": _metrics_dict(summarize(res_clmr)),
+        }
 
     # 6. Embedding measures over pretrained zero-shot pulses.
     log.info("measures...")

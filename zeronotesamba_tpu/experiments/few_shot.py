@@ -36,6 +36,7 @@ def run_few_shot(
     sup_cfg = SupervisedConfig(
         status=cfg.status, pre=cfg.pre, lr=cfg.lr, eval_method=cfg.eval_method,
         batch_size=cfg.batch_size, bucket_frames=cfg.bucket_frames, dropout_seed=cfg.seed,
+        pos_weight=cfg.pos_weight,
     )
     splitter = random.Random(split_seed)
     names = list(ds.names)
@@ -56,7 +57,13 @@ def run_few_shot(
 
             state = init_state(sup_cfg, ds[0], jax.random.PRNGKey(cfg.seed + rep), params=init_params)
             val_plan = staged.plan(val_names, cfg.batch_size)
-            best_f1, best_params, stale = -1.0, state.params, 0
+            # Init params are the first best-checkpoint candidate (see
+            # beat.py): with a pretrained init, few-shot must never score
+            # below its own zero-shot quality.
+            _, _, ivm = run_epoch(state, staged, val_plan, sup_cfg, train=False, score=True)
+            best_f1 = float(ivm[0])
+            best_params = jax.tree.map(lambda x: x.copy(), state.params)
+            stale = 0
             shuffle_rng = np.random.default_rng(split_seed * 31 + rep)
             for epoch in range(cfg.max_epochs):
                 tp = staged.plan(train_names, cfg.batch_size, shuffle_rng)

@@ -37,6 +37,7 @@ class PretextRunConfig:
     batch_size: int = 16
     crop_frames: int = 313
     temperature: float = 0.25
+    lr: float = None  # None = reference rules (train/state.pretext_optimizer)
     seed: int = 0
     checkpoint_path: Optional[str] = None  # best-val params (reference
     # models/shift_pret_cnn_16.pth equivalent)
@@ -106,7 +107,8 @@ def train_pretext(
     import jax.numpy as jnp
 
     pcfg = PretextConfig(
-        task=cfg.task, batch_size=cfg.batch_size, crop_frames=cfg.crop_frames, temperature=cfg.temperature
+        task=cfg.task, batch_size=cfg.batch_size, crop_frames=cfg.crop_frames,
+        temperature=cfg.temperature, lr=cfg.lr,
     )
     state = init_pretext_state(pcfg, jax.random.PRNGKey(cfg.seed))
     step = make_staged_train_step(pcfg, mesh=mesh)

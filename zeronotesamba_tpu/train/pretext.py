@@ -37,6 +37,7 @@ class PretextConfig:
     temperature: float = 0.25
     dropout_seed: int = 0
     dropout_rate: float = 0.1
+    lr: float = None  # None = reference rules (train/state.pretext_optimizer)
 
 
 def make_pretext_model(task: str, dropout_rate: float = 0.1):
@@ -50,7 +51,7 @@ def init_pretext_state(cfg: PretextConfig, rng: jax.Array) -> TrainState:
     # (~100s through the axon relay); one jitted program is seconds.
     init = jax.jit(model.init)
     params = init(rng, x, x) if cfg.task == "zerons" else init(rng, x)
-    return TrainState.create(apply_fn=model.apply, params=params, tx=pretext_optimizer(cfg.task))
+    return TrainState.create(apply_fn=model.apply, params=params, tx=pretext_optimizer(cfg.task, cfg.lr))
 
 
 def crop_shifts(

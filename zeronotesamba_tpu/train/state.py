@@ -60,7 +60,14 @@ def make_optimizer(status: str, pre: str, lr: float, params: Any = None) -> opta
 
 
 @functools.lru_cache(maxsize=8)
-def pretext_optimizer(task: str = "zerons") -> optax.GradientTransformation:
-    """Reference pretext optimizers (pretext.py:202,208); cached (see above)."""
-    lr = 1e-6 if task == "zerons" else 1e-5
+def pretext_optimizer(task: str = "zerons", lr: float = None) -> optax.GradientTransformation:
+    """Reference pretext optimizers (pretext.py:202,208); cached (see above).
+
+    ``lr=None`` = reference parity (zerons 1e-6, clmr 1e-5). The reference
+    amortizes its tiny zerons lr over ~3e5 steps (20 chunks x 1440 tracks x
+    10+ epochs, pretext.py:255-321); demo-scale runs (~1e2 steps) may pass an
+    explicitly larger lr to reach an equivalent optimization distance.
+    """
+    if lr is None:
+        lr = 1e-6 if task == "zerons" else 1e-5
     return optax.adam(lr, b1=0.9, b2=0.999)

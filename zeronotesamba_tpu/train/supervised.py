@@ -42,6 +42,9 @@ class SupervisedConfig:
     batch_size: int = 8
     bucket_frames: int = 128  # pad T to multiples of this
     dropout_seed: int = 0
+    pos_weight: float = 1.0  # positive-class BCE weight; 1.0 = reference
+    # parity (plain BCELoss, loader.py:16), ~1/positive-rate removes the
+    # all-zeros plateau attractor (losses/bce.py rationale)
 
 
 def make_model(status: str):
@@ -148,9 +151,10 @@ class StagedDataset:
 
 
 @partial(jax.jit, static_argnames=("status",), donate_argnums=(0,))
-def train_step(state: TrainState, vqt, pulse, mask, dropout_rng, status: str):
+def train_step(state: TrainState, vqt, pulse, mask, dropout_rng, status: str, pos_weight=1.0):
     """Trains in logits space (losses/bce.py rationale); returns probability
-    outputs for in-loop beat scoring like the reference (epochs.py:83-91)."""
+    outputs for in-loop beat scoring like the reference (epochs.py:83-91).
+    ``pos_weight`` is a traced scalar (no recompile across values)."""
 
     def loss_fn(params):
         if status == "pretrained":
@@ -158,13 +162,13 @@ def train_step(state: TrainState, vqt, pulse, mask, dropout_rng, status: str):
                 params, vqt[:, 0, :, :, None], vqt[:, 1, :, :, None],
                 train=True, rngs={"dropout": dropout_rng}, method="logits",
             )
-            loss = masked_bce_twin_logits(la, lb, pulse, mask, reduction="max")
+            loss = masked_bce_twin_logits(la, lb, pulse, mask, reduction="max", pos_weight=pos_weight)
             out = jax.nn.sigmoid(jnp.maximum(la, lb))
         else:
             logits = state.apply_fn(
                 params, vqt[:, 0, :, :, None], train=True, rngs={"dropout": dropout_rng}, method="logits"
             )
-            loss = masked_bce_logits(logits, pulse, mask)
+            loss = masked_bce_logits(logits, pulse, mask, pos_weight)
             out = jax.nn.sigmoid(logits)
         return loss, out
 
@@ -173,14 +177,14 @@ def train_step(state: TrainState, vqt, pulse, mask, dropout_rng, status: str):
 
 
 @partial(jax.jit, static_argnames=("status",))
-def eval_step(state: TrainState, vqt, pulse, mask, status: str):
+def eval_step(state: TrainState, vqt, pulse, mask, status: str, pos_weight=1.0):
     if status == "pretrained":
         la, lb = state.apply_fn(state.params, vqt[:, 0, :, :, None], vqt[:, 1, :, :, None], method="logits")
-        loss = masked_bce_twin_logits(la, lb, pulse, mask, reduction="max")
+        loss = masked_bce_twin_logits(la, lb, pulse, mask, reduction="max", pos_weight=pos_weight)
         out = jax.nn.sigmoid(jnp.maximum(la, lb))
     else:
         logits = state.apply_fn(state.params, vqt[:, 0, :, :, None], method="logits")
-        loss = masked_bce_logits(logits, pulse, mask)
+        loss = masked_bce_logits(logits, pulse, mask, pos_weight)
         out = jax.nn.sigmoid(logits)
     return loss, out
 
@@ -211,9 +215,9 @@ def run_epoch(
         mask = _gather(bucket.mask, idx)
         if train:
             rng = jax.random.fold_in(jax.random.PRNGKey(cfg.dropout_seed), epoch * 100003 + i)
-            state, loss, out = train_step(state, vqt, pulse, mask, rng, cfg.status)
+            state, loss, out = train_step(state, vqt, pulse, mask, rng, cfg.status, cfg.pos_weight)
         else:
-            loss, out = eval_step(state, vqt, pulse, mask, cfg.status)
+            loss, out = eval_step(state, vqt, pulse, mask, cfg.status, cfg.pos_weight)
         losses.append(float(loss))
         if score:
             out_np = np.asarray(out)
