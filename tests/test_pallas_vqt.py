@@ -38,3 +38,35 @@ def test_octave_kernel_single(rng):
         resp = frame @ bank[:, :24]
         mag = np.sqrt(resp[:12] ** 2 + resp[12:24] ** 2 + 1e-30)
         np.testing.assert_allclose(np.asarray(out)[0, m], np.log(mag + p.log_eps), atol=1e-4)
+
+
+def test_fused_cascade_matches_xla_decimation(rng):
+    """decimation_cascade_pallas levels == the XLA _decimate2 chain on every
+    sample outside the documented edge-corruption margin."""
+    from zeronotesamba_tpu.ops.pallas.vqt_kernel import decimation_cascade_pallas
+    from zeronotesamba_tpu.ops.vqt import _conv_constants, _decimate2
+
+    p = XQTParams()
+    sig = jnp.asarray(rng.standard_normal((2, 256 * 40)).astype(np.float32))
+    levels = decimation_cascade_pallas(sig, 3, interpret=True)
+    _, dk = _conv_constants(p)
+    dk = jnp.asarray(dk)
+    x = sig[:, None, :]
+    margin = 100  # > 2 * taps//2 accumulated edge depth
+    for s in range(3):
+        x = _decimate2(x, dk)
+        ref = np.asarray(x[:, 0, :])
+        got = np.asarray(levels[s])
+        assert got.shape == ref.shape
+        n = ref.shape[-1]
+        np.testing.assert_allclose(got[:, margin : n - margin], ref[:, margin : n - margin], atol=1e-5)
+
+
+def test_fused_cascade_pipeline_matches_xla(rng):
+    """log_xqt_pallas(fused_cascade=True) == log_xqt on the full 96-bin VQT."""
+    p = XQTParams()
+    y = jnp.asarray(rng.standard_normal((2, 48000)).astype(np.float32))
+    ref = np.asarray(log_xqt(y, p))
+    out = np.asarray(log_xqt_pallas(y, p, interpret=True, fused_cascade=True))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-4)

@@ -69,8 +69,10 @@ def main():
         # Front-end alone.
         f_xla = jax.jit(lambda s: log_xqt(s, params_x))
         f_pal = jax.jit(lambda s: log_xqt_pallas(s, params_x))
+        f_fus = jax.jit(lambda s: log_xqt_pallas(s, params_x, fused_cascade=True))
         t_xla = _timed(f_xla, lambda i: (sig_batch(i, 1),), args.iters)
         t_pal = _timed(f_pal, lambda i: (sig_batch(i, 2),), args.iters)
+        t_fus = _timed(f_fus, lambda i: (sig_batch(i, 5),), args.iters)
 
         # Encoder alone (precomputed VQT-shaped input).
         def vqt_batch(i, salt):
@@ -89,6 +91,7 @@ def main():
 
         out["vqt_xla_ms"] = round(t_xla * 1e3, 1)
         out["vqt_pallas_ms"] = round(t_pal * 1e3, 1)
+        out["vqt_pallas_fused_cascade_ms"] = round(t_fus * 1e3, 1)
         audio_min = batch * CLIP_S / 60.0
         out["note"] = "x2 streams for pipeline share"
         out["pipe_equiv_audio_min_s_f32"] = round(audio_min / (2 * t_xla + out["enc_f32_ms"] / 1e3), 2)

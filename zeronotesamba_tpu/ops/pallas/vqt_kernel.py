@@ -110,6 +110,112 @@ def octave_log_xqt_pallas(
     return out[:, :n_frames, :bpo]
 
 
+# ---------------------------------------------------------------------------
+# Fused decimation cascade (VERDICT r1 task 9): all 7 half-band decimation
+# levels in ONE Pallas kernel, intermediate levels VMEM-resident.
+#
+# Layout trick that makes the cascade Mosaic-expressible: the signal is
+# stored as (R, w) rows of w samples. Decimating by 2 maps row r of the
+# w-wide input onto row r of the (w/2)-wide output (sample counts halve,
+# row counts stay FIXED), so level s+1 row r depends only on level-s rows
+# r-J..r+J (J = ceil-ish of taps/2/w) — a sum of SHIFTED CONTIGUOUS row
+# slices times banded constant matrices:
+#
+#     Y = sum_j X[J+j : J+j+R] @ D_j,   D_j[i, l] = taps[j*w + i - 2l + c]
+#
+# No stride-2 row/lane access (the classic TPU decimation obstacle) ever
+# appears; every term is an MXU matmul. Widths run 256 -> 128 -> ... -> 2.
+#
+# Boundary semantics: the XLA path (ops/vqt._decimate2) reflect-pads every
+# level by taps//2 = 40. Instead of reproducing reflection in-kernel, the
+# fused path reflect-pads the FULL-RATE signal twice as generously
+# (2 * (w//2+1) << dec_max) and lets level edges read zero pad rows: edge
+# corruption propagates inward at most depth* = taps//2 * (1 + 1/2 + ...)
+# <= 80 samples at any level, while every sample the octave framing consumes
+# sits >= (2*pad>>dec) - 128 >= 130 samples inside — so all CONSUMED samples
+# are bit-comparable (f32 HIGHEST matmuls) to the XLA path.
+# ---------------------------------------------------------------------------
+
+_CASCADE_W0 = 256  # level-0 row width; must equal XQTParams.hop
+
+
+@functools.lru_cache(maxsize=4)
+def _cascade_mats(n_levels: int, w0: int = _CASCADE_W0) -> Tuple[Tuple[np.ndarray, ...], ...]:
+    """Per-level stacked shift matrices: level s -> (2J+1, w_in, w_in//2)."""
+    from zeronotesamba_tpu.ops.filterbank import halfband_decimation_filter
+
+    taps = halfband_decimation_filter().astype(np.float64)
+    c = len(taps) // 2
+    out = []
+    for s in range(n_levels):
+        w_in = w0 >> s
+        w_out = w_in // 2
+        jmax = (c + w_in - 1) // w_in + 1
+        mats = np.zeros((2 * jmax + 1, w_in, w_out), np.float64)
+        for j in range(-jmax, jmax + 1):
+            for i in range(w_in):
+                for l in range(w_out):
+                    t = j * w_in + i - 2 * l + c
+                    if 0 <= t < len(taps):
+                        mats[j + jmax, i, l] = taps[t]
+        out.append(mats.astype(np.float32))
+    return tuple(out)
+
+
+def _cascade_kernel(x_ref, *refs, n_levels: int, r_rows: int):
+    """One batch row: (1, R, 256) -> levels 1..n (1, R, 256 >> s)."""
+    d_refs, out_refs = refs[:n_levels], refs[n_levels:]
+    x = x_ref[0]
+    for s in range(n_levels):
+        mats = d_refs[s]
+        jmax = (mats.shape[0] - 1) // 2
+        xp = jnp.pad(x, ((jmax, jmax), (0, 0)))
+        y = None
+        for jj in range(mats.shape[0]):
+            term = jax.lax.dot(
+                xp[jj : jj + r_rows, :], mats[jj],
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            y = term if y is None else y + term
+        out_refs[s][0] = y
+        x = y
+
+
+def decimation_cascade_pallas(
+    x: jnp.ndarray, n_levels: int, *, interpret: bool = False
+) -> Tuple[jnp.ndarray, ...]:
+    """(B, L) padded signal (L % 256 == 0) -> tuple of (B, L >> s) levels.
+
+    Level s is the signal decimated s times (s = 1..n_levels). Caller is
+    responsible for the generous-pad boundary contract described above.
+    """
+    b, length = x.shape
+    if length % _CASCADE_W0 != 0:
+        raise ValueError("cascade input length must be a multiple of 256")
+    r = length // _CASCADE_W0
+    xr = x.reshape(b, r, _CASCADE_W0)
+    mats = _cascade_mats(n_levels)
+
+    out = pl.pallas_call(
+        functools.partial(_cascade_kernel, n_levels=n_levels, r_rows=r),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, r, _CASCADE_W0 >> (s + 1)), jnp.float32) for s in range(n_levels)
+        ),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, r, _CASCADE_W0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+        + [
+            pl.BlockSpec(m.shape, (lambda i: (0, 0, 0)), memory_space=pltpu.VMEM)
+            for m in mats
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, r, _CASCADE_W0 >> (s + 1)), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            for s in range(n_levels)
+        ),
+        interpret=interpret,
+    )(xr, *(jnp.asarray(m) for m in mats))
+    return tuple(o.reshape(b, length >> (s + 1)) for s, o in enumerate(out))
+
+
 @functools.lru_cache(maxsize=8)
 def _banks_f32(params: XQTParams) -> Tuple[np.ndarray, ...]:
     bank = octave_kernel_bank(params)  # (n_oct, W, bpo) complex
@@ -123,13 +229,22 @@ def _banks_f32(params: XQTParams) -> Tuple[np.ndarray, ...]:
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "interpret"))
-def log_xqt_pallas(y: jnp.ndarray, params: XQTParams = XQTParams(), *, interpret: bool = False) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("params", "interpret", "fused_cascade"))
+def log_xqt_pallas(
+    y: jnp.ndarray,
+    params: XQTParams = XQTParams(),
+    *,
+    interpret: bool = False,
+    fused_cascade: bool = False,
+) -> jnp.ndarray:
     """Batched log-VQT with the fused Pallas filterbank stage.
 
-    The decimation cascade stays on XLA (tiny strided convs); each octave's
-    framing+matmul+magnitude+log runs as one Pallas kernel. Output matches
-    ops.vqt.log_xqt to float32 accumulation accuracy.
+    ``fused_cascade=False``: the decimation cascade runs on XLA (tiny strided
+    convs); each octave's framing+matmul+magnitude+log is one Pallas kernel.
+    ``fused_cascade=True``: all 7 decimation levels additionally run as ONE
+    Pallas kernel with VMEM-resident intermediates (decimation_cascade_pallas
+    rationale above). Both match ops.vqt.log_xqt to float32 accumulation
+    accuracy on every consumed sample.
     """
     from zeronotesamba_tpu.ops.vqt import _conv_constants, _decimate2, _reflect_pad_last
 
@@ -143,6 +258,28 @@ def log_xqt_pallas(y: jnp.ndarray, params: XQTParams = XQTParams(), *, interpret
     bpo = params.bins_per_octave
     dec_max = params.n_octaves - 1
     pad = (w // 2 + 1) << dec_max
+    if fused_cascade and params.hop == _CASCADE_W0:
+        # Double reflect pad + trailing zeros to a 256 multiple: consumed
+        # samples stay identical (reflect content is local), edge-corruption
+        # depth (<= 2*taps//2) stays inside the extra margin (>= pad>>dec-128).
+        pad2 = 2 * pad
+        x0 = _reflect_pad_last(y.astype(jnp.float32)[:, None, :], pad2)[:, 0, :]
+        total = ((x0.shape[-1] + _CASCADE_W0 - 1) // _CASCADE_W0) * _CASCADE_W0
+        x0 = jnp.pad(x0, ((0, 0), (0, total - x0.shape[-1])))
+        levels = (x0,) + decimation_cascade_pallas(x0, dec_max, interpret=interpret)
+        octaves = []
+        for j in range(params.n_octaves - 1, -1, -1):
+            dec = params.n_octaves - 1 - j
+            hop_j = params.hop >> dec
+            offset = (pad2 >> dec) - w // 2
+            span_needed = (n_frames - 1) * hop_j + w
+            sig = levels[dec][:, offset : offset + span_needed]
+            res = octave_log_xqt_pallas(
+                sig, jnp.asarray(banks[j]), hop=hop_j, w=w, n_frames=n_frames, bpo=bpo,
+                log_eps=params.log_eps, interpret=interpret,
+            )
+            octaves.append(jnp.swapaxes(res, 1, 2))
+        return jnp.concatenate(octaves[::-1], axis=1)
 
     x = _reflect_pad_last(y.astype(jnp.float32)[:, None, :], pad)
     octaves = []
