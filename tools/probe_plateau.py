@@ -107,7 +107,7 @@ def probe_pretext(args):
     bank = np.stack([r.vqt for r in split]).astype(np.float32)
     n_val = max(2, len(bank) // 8)
     report = {}
-    for lr in (1e-6, 1e-5, 3e-5, 1e-4):
+    for lr in [float(s) for s in args.lrs.split(",")]:
         t0 = time.time()
         cfg = PretextRunConfig(task="zerons", num_epochs=args.epochs_pretext, batch_size=16, lr=lr, seed=0)
         params, hist = train_pretext(bank[n_val:], bank[:n_val], cfg)
@@ -129,6 +129,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--epochs-pretext", type=int, default=10)
+    ap.add_argument("--lrs", default="1e-6,1e-5,3e-5,1e-4", help="pretext lr grid (--pretext mode)")
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--songs", type=int, default=18)
     ap.add_argument("--pretext", action="store_true")
