@@ -218,3 +218,30 @@ def test_supervised_pos_weight_trains(tiny_ds):
     for e in range(1, 4):
         state, loss, _ = run_epoch(state, staged, plan, cfg, train=True, epoch=e, score=False)
     assert np.isfinite(loss) and loss < loss0
+
+
+def test_pretext_multi_track_accumulation_matches_mean_of_singles():
+    """(k,) track_idx = mean loss/grad of the k single-track steps."""
+    from zeronotesamba_tpu.train.pretext import make_staged_train_step
+
+    cfg = PretextConfig(batch_size=4, crop_frames=64, dropout_rate=0.0)
+    state = init_pretext_state(cfg, jax.random.PRNGKey(0))
+    g = np.random.default_rng(3)
+    bank = g.standard_normal((3, 2, 96, 128)).astype(np.float32)
+    bank_dev = jnp.asarray(bank)
+    tracks = np.array([0, 2], dtype=np.int32)
+    starts = np.stack([np.array([0, 5, 11, 21], np.int32), np.array([3, 9, 40, 64], np.int32)])
+    rng = jax.random.PRNGKey(7)
+
+    step = make_staged_train_step(cfg)
+    _, loss_acc, pc_acc, nc_acc = step(state, bank_dev, jnp.asarray(tracks), jnp.asarray(starts), rng)
+
+    # Mean of the two single-track losses on the SAME params (dropout off,
+    # so the per-track rng split is the only nondeterminism and unused).
+    singles = []
+    for t, st in zip(tracks, starts):
+        _, loss1, pc1, nc1 = step(state, bank_dev, jnp.int32(t), jnp.asarray(st), rng)
+        singles.append((float(loss1), float(pc1), float(nc1)))
+    np.testing.assert_allclose(float(loss_acc), np.mean([s[0] for s in singles]), rtol=1e-5)
+    np.testing.assert_allclose(float(pc_acc), np.mean([s[1] for s in singles]), rtol=1e-5)
+    np.testing.assert_allclose(float(nc_acc), np.mean([s[2] for s in singles]), rtol=1e-5)

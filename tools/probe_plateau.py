@@ -23,7 +23,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def build_corpora(n: int, seed: int):
+def build_corpora(n: int, seed: int, *, harmonics: int = 5, freq_lo: float = 1200.0,
+                  freq_hi: float = 2200.0, burst: float = 0.0):
     """(split_ds, mix_ds) with per-song random fundamentals (demo-suite corpus A)."""
     from zeronotesamba_tpu.data.datasets import BeatDataset, SongRecord
     from zeronotesamba_tpu.data.pulse import beat_pulse
@@ -34,9 +35,9 @@ def build_corpora(n: int, seed: int):
     split, mix = BeatDataset(), BeatDataset()
     for i in range(n):
         bpm = float(rng.uniform(70, 180))
-        freq = float(np.exp(rng.uniform(np.log(1200.0), np.log(2200.0))))
+        freq = float(np.exp(rng.uniform(np.log(freq_lo), np.log(freq_hi))))
         anchor, positive, beats = percussive_pair(12.0, bpm, seed=seed * 10007 + i,
-                                                  harmonics=5, click_freq=freq)
+                                                  harmonics=harmonics, click_freq=freq, burst=burst)
         vq_a = generate_xqt(anchor, 16000, "vqt")
         vq_p = generate_xqt(positive, 16000, "vqt")
         vq_m = generate_xqt((anchor + positive).astype(np.float32), 16000, "vqt")
@@ -103,13 +104,15 @@ def probe_pretext(args):
     from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig, run_beat_experiment
     from zeronotesamba_tpu.experiments.pretext_driver import PretextRunConfig, train_pretext
 
-    split, _ = build_corpora(args.songs, seed=1)
+    split, _ = build_corpora(args.songs, seed=1, harmonics=args.harmonics,
+                             freq_lo=args.freq_lo, freq_hi=args.freq_hi, burst=args.burst)
     bank = np.stack([r.vqt for r in split]).astype(np.float32)
     n_val = max(2, len(bank) // 8)
     report = {}
     for lr in [float(s) for s in args.lrs.split(",")]:
         t0 = time.time()
-        cfg = PretextRunConfig(task="zerons", num_epochs=args.epochs_pretext, batch_size=16, lr=lr, seed=0)
+        cfg = PretextRunConfig(task="zerons", num_epochs=args.epochs_pretext, batch_size=16, lr=lr, seed=0,
+                               tracks_per_step=args.accum)
         params, hist = train_pretext(bank[n_val:], bank[:n_val], cfg)
         fused = {"params": {"pretext": params["params"]}}
         zcfg = BeatExperimentConfig(status="pretrained", pre="validation", eval_method="dbn", batch_size=8)
@@ -130,6 +133,11 @@ def main():
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--epochs-pretext", type=int, default=10)
     ap.add_argument("--lrs", default="1e-6,1e-5,3e-5,1e-4", help="pretext lr grid (--pretext mode)")
+    ap.add_argument("--accum", type=int, default=1, help="tracks accumulated per update (--pretext mode)")
+    ap.add_argument("--harmonics", type=int, default=5)
+    ap.add_argument("--freq-lo", type=float, default=1200.0)
+    ap.add_argument("--freq-hi", type=float, default=2200.0)
+    ap.add_argument("--burst", type=float, default=0.0)
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--songs", type=int, default=18)
     ap.add_argument("--pretext", action="store_true")

@@ -111,7 +111,7 @@ def build_parser() -> argparse.ArgumentParser:
     d = sub.add_parser("demo-suite", help="reproduce the full experiment grid on synthetic data")
     d.add_argument("--out", default="results/synthetic")
     d.add_argument("--songs", type=int, default=24)
-    d.add_argument("--pretext-epochs", type=int, default=10)
+    d.add_argument("--pretext-epochs", type=int, default=120)
     d.add_argument("--max-epochs", type=int, default=60)
     d.add_argument("--folds", type=int, default=4)
     d.add_argument("--clmr", action="store_true", help="also run the CLMR pretext + finetune arm")

@@ -24,6 +24,7 @@ def click_track(
     noise: float = 0.003,
     phase_s: float = 0.1,
     harmonics: int = 1,
+    burst: float = 0.0,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """A percussive click track at ``bpm`` with optional harmonic accompaniment.
@@ -37,6 +38,13 @@ def click_track(
     domain shift — the round-1 cross-dataset collapse (VERDICT r1 weak #3)
     traced to exactly that: an 11-semitone pure-tone shift between corpora
     that no spectral feature could bridge, not a training/transfer bug.
+
+    ``burst > 0`` adds an enveloped white-noise transient of that relative
+    amplitude to each click — the broadband attack real drum hits have.
+    Tonal-only clicks leave most VQT rows at the noise floor; the broadband
+    attack excites every octave at the beat instant, which is what gives the
+    contrastive pretext task a usable alignment signal at initialization
+    (see demo_suite._build_corpus).
     """
     rng = np.random.default_rng(seed)
     n = int(round(duration_s * sr))
@@ -58,7 +66,10 @@ def click_track(
     click = env * tone
     for bt in beat_times:
         i = int(round(bt * sr))
-        sig[i : i + click_n] += click[: max(0, min(click_n, n - i))]
+        piece = click[: max(0, min(click_n, n - i))]
+        if burst:
+            piece = piece + burst * (env * rng.standard_normal(click_n))[: len(piece)]
+        sig[i : i + click_n] += piece
 
     if accomp:
         # A slow chord progression so the "anchor" stream is non-trivial.
@@ -79,6 +90,7 @@ def percussive_pair(
     *,
     harmonics: int = 1,
     click_freq: float = 1500.0,
+    burst: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(anchor, positive, beat_times): harmonic-only vs percussive-only stems.
 
@@ -92,7 +104,7 @@ def percussive_pair(
     """
     clicks, beats = click_track(
         duration_s, bpm, sr, accomp=False, noise=0.0, harmonics=harmonics,
-        click_freq=click_freq, seed=seed,
+        click_freq=click_freq, burst=burst, seed=seed,
     )
     harm, _ = click_track(duration_s, bpm, sr, click_freq=0.0, click_len_s=1e-4, accomp=True, seed=seed + 1)
     rng = np.random.default_rng(seed + 2)

@@ -38,6 +38,9 @@ class PretextRunConfig:
     crop_frames: int = 313
     temperature: float = 0.25
     lr: float = None  # None = reference rules (train/state.pretext_optimizer)
+    tracks_per_step: int = 1  # >1 = accumulate k per-track NT-Xent batches
+    # into one update (same per-track loss semantics; sqrt(k) less gradient
+    # noise — the demo-scale plateau-escape lever, see make_staged_train_step)
     seed: int = 0
     checkpoint_path: Optional[str] = None  # best-val params (reference
     # models/shift_pret_cnn_16.pth equivalent)
@@ -137,14 +140,27 @@ def train_pretext(
             log.info("resumed from epoch %d", latest)
     from zeronotesamba_tpu.utils.profiling import trace
 
+    k = max(1, int(cfg.tracks_per_step))
     for epoch in range(start_epoch, cfg.num_epochs):
         order = rng.permutation(len(train_bank))
+        if k > 1:  # pad the order so every update sees exactly k tracks
+            pad = (-len(order)) % k
+            if pad:
+                order = np.concatenate([order, rng.choice(len(train_bank), size=pad)])
+            order = order.reshape(-1, k)
         tr_losses, tr_pos, tr_neg = [], [], []
         with trace(cfg.trace_dir if epoch == start_epoch else None):
             for i in order:
-                starts = sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
+                if k > 1:
+                    starts = np.stack([
+                        sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng) for _ in i
+                    ])
+                    idx = jnp.asarray(np.asarray(i, np.int32))
+                else:
+                    starts = sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
+                    idx = jnp.int32(i)
                 key, sub = jax.random.split(key)
-                state, loss, pc, nc = step(state, bank_dev, jnp.int32(i), jnp.asarray(starts), sub)
+                state, loss, pc, nc = step(state, bank_dev, idx, jnp.asarray(starts), sub)
                 tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
         va_losses, va_pos, va_neg = [], [], []
         for vb in val_batches:

@@ -154,7 +154,16 @@ def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
     stays in HBM and each step receives only (track_idx, starts) scalars —
     the reference's host-side shift cropping (pretext.py:307-318) becomes
     on-device dynamic slices, eliminating per-batch host uploads (host links
-    run ~1 MB/s through the relay; a 16-shift batch is ~38 MB)."""
+    run ~1 MB/s through the relay; a 16-shift batch is ~38 MB).
+
+    ``track_idx`` may be a scalar (one track per step, reference cadence) or
+    a (k,) vector: k per-track NT-Xent batches evaluated in one fused step
+    with the mean loss — gradient accumulation across tracks. Each track's
+    loss keeps the exact reference semantics (negatives = other shifts of
+    the SAME track); averaging k tracks per update divides the plateau's
+    gradient noise by sqrt(k), which is what lets demo-scale runs (~1e2-1e3
+    updates) traverse the NT-Xent saturation plateau the reference crosses
+    with ~1e5 accumulated tiny-lr steps (pretext.py:255-321)."""
 
     def crops_from(bank, track_idx, starts):
         item = jax.lax.dynamic_index_in_dim(bank, track_idx, 0, keepdims=False)  # (2,96,T)
@@ -174,14 +183,27 @@ def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
             loss, pc, nc = ntxent_global(a_emb, p_emb, cfg.temperature, axis)
         return loss, (pc, nc)
 
+    def multi_track_loss(params, apply_fn, bank, track_idx, starts, rng, axis):
+        if track_idx.ndim == 0:
+            batch = crops_from(bank, track_idx, starts)
+            return loss_from_batch(params, apply_fn, batch, rng, axis)
+
+        def one(carry, ts):
+            ti, st, key = ts
+            batch = crops_from(bank, ti, st)
+            loss, (pc, nc) = loss_from_batch(params, apply_fn, batch, key, axis)
+            return carry, (loss, pc, nc)
+
+        keys = jax.random.split(rng, track_idx.shape[0])
+        _, (losses, pcs, ncs) = jax.lax.scan(one, 0, (track_idx, starts, keys))
+        return jnp.mean(losses), (jnp.mean(pcs), jnp.mean(ncs))
+
     if mesh is None:
 
         @jax.jit
         def step(state: TrainState, bank: jnp.ndarray, track_idx, starts, rng):
-            batch = crops_from(bank, track_idx, starts)
-
             def loss_fn(p):
-                return loss_from_batch(p, state.apply_fn, batch, rng, None)
+                return multi_track_loss(p, state.apply_fn, bank, track_idx, starts, rng, None)
 
             (loss, (pc, nc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(grads=grads), loss, pc, nc
