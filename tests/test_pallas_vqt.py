@@ -70,3 +70,37 @@ def test_fused_cascade_pipeline_matches_xla(rng):
     out = np.asarray(log_xqt_pallas(y, p, interpret=True, fused_cascade=True))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_cascade_vmem_level_cap():
+    """The scoped-VMEM estimator caps fused depth for real clip lengths and
+    is monotone in signal length (tpu_custom_call stack limit is 16 MB; a
+    10 s clip at full 7-level depth measured 21.2 MB and failed to compile)."""
+    from zeronotesamba_tpu.ops.pallas.vqt_kernel import _cascade_vmem_levels
+
+    r_10s = 883  # ceil((160000 + 2*pad)/256) for the default XQTParams
+    k = _cascade_vmem_levels(r_10s, 7)
+    assert 1 <= k < 7
+    assert _cascade_vmem_levels(80, 7) >= k  # shorter signal, same or deeper
+    assert _cascade_vmem_levels(8 * r_10s, 7) <= k
+    # Raising the budget must never reduce depth.
+    assert _cascade_vmem_levels(r_10s, 7, budget_bytes=1 << 30) == 7
+
+
+def test_fused_cascade_xla_chain_matches(rng):
+    """The capped-depth path (Pallas prefix + XLA-chained deep levels) equals
+    both the all-fused path and the plain XLA path."""
+    from unittest import mock
+
+    from zeronotesamba_tpu.ops.pallas import vqt_kernel as vk
+
+    p = XQTParams()
+    y = jnp.asarray(rng.standard_normal((1, 48000)).astype(np.float32))
+    ref = np.asarray(log_xqt(y, p))
+    # interpret mode normally fuses everything; force the capped path by
+    # patching the estimator to 3 levels and dropping the interpret shortcut.
+    with mock.patch.object(vk, "_cascade_vmem_levels", return_value=3):
+        out = np.asarray(
+            vk.log_xqt_pallas.__wrapped__(y, p, interpret=True, fused_cascade=True)
+        )
+    np.testing.assert_allclose(out, ref, atol=5e-4)

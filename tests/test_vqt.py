@@ -93,3 +93,21 @@ def test_batched_consistency(rng):
     for i in range(3):
         single = np.asarray(log_xqt(sigs[i : i + 1], p))[0]
         np.testing.assert_allclose(batched[i], single, rtol=0, atol=1e-4)
+
+
+def test_no_log_floor_cells_on_noise():
+    """Regression guard for the TPU whole-program fusion miscompile (fixed
+    with optimization_barrier in xqt_magnitude): broadband noise excites
+    every VQT bin, so NO cell may sit at the log floor log(eps) — the
+    miscompile zeroed the last ~59 frames of octaves 2-6 on real TPUs.
+    Runs on whatever backend the session uses; re-run on TPU after touching
+    ops/vqt.py or the XLA/jax version (see .claude/skills/verify)."""
+    import jax.numpy as jnp
+
+    from zeronotesamba_tpu.ops.vqt import log_xqt
+
+    rng = np.random.default_rng(11)
+    y = jnp.asarray(rng.standard_normal((1, 160000)).astype(np.float32))
+    out = np.asarray(log_xqt(y, XQTParams()))
+    floor = np.log(1e-9)
+    assert (out < floor + 1.0).sum() == 0, f"{(out < floor + 1.0).sum()} cells at the log floor"

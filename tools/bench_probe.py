@@ -66,13 +66,23 @@ def main():
             k = jax.random.fold_in(key, i * 1000003 + salt + batch)
             return jax.random.normal(k, (batch, n_samp), dtype=np.float32)
 
-        # Front-end alone.
+        # Front-end alone (each timed independently; a variant that fails to
+        # compile reports the error instead of killing the probe).
+        def _try(fn, salt):
+            try:
+                t = _timed(fn, lambda i: (sig_batch(i, salt),), args.iters)
+                print(json.dumps({"partial": {"salt": salt, "ms": round(t * 1e3, 1)}}), flush=True)
+                return t
+            except Exception as e:
+                print(f"variant failed: {type(e).__name__}: {e}"[:300], flush=True)
+                return None
+
         f_xla = jax.jit(lambda s: log_xqt(s, params_x))
         f_pal = jax.jit(lambda s: log_xqt_pallas(s, params_x))
         f_fus = jax.jit(lambda s: log_xqt_pallas(s, params_x, fused_cascade=True))
-        t_xla = _timed(f_xla, lambda i: (sig_batch(i, 1),), args.iters)
-        t_pal = _timed(f_pal, lambda i: (sig_batch(i, 2),), args.iters)
-        t_fus = _timed(f_fus, lambda i: (sig_batch(i, 5),), args.iters)
+        t_xla = _try(f_xla, 1)
+        t_pal = _try(f_pal, 2)
+        t_fus = _try(f_fus, 5)
 
         # Encoder alone (precomputed VQT-shaped input).
         def vqt_batch(i, salt):
@@ -89,12 +99,14 @@ def main():
             t_enc = _timed(f_enc, lambda i: (mp, vqt_batch(i, 3), vqt_batch(i, 4)), args.iters)
             out[f"enc_{dname}_ms"] = round(t_enc * 1e3, 1)
 
-        out["vqt_xla_ms"] = round(t_xla * 1e3, 1)
-        out["vqt_pallas_ms"] = round(t_pal * 1e3, 1)
-        out["vqt_pallas_fused_cascade_ms"] = round(t_fus * 1e3, 1)
+        ms = lambda t: round(t * 1e3, 1) if t else None
+        out["vqt_xla_ms"] = ms(t_xla)
+        out["vqt_pallas_ms"] = ms(t_pal)
+        out["vqt_pallas_fused_cascade_ms"] = ms(t_fus)
         audio_min = batch * CLIP_S / 60.0
         out["note"] = "x2 streams for pipeline share"
-        out["pipe_equiv_audio_min_s_f32"] = round(audio_min / (2 * t_xla + out["enc_f32_ms"] / 1e3), 2)
+        if t_xla:
+            out["pipe_equiv_audio_min_s_f32"] = round(audio_min / (2 * t_xla + out["enc_f32_ms"] / 1e3), 2)
         results[f"batch{batch}"] = out
 
     print(json.dumps(results, indent=2))

@@ -5,14 +5,12 @@ add -> sqrt -> (later) log with HBM roundtrips between them:
 
     frames(signal) @ [cos|sin] bank -> magnitude -> log(. + eps)
 
-in one VMEM-resident pass. Framing happens inside the kernel without an HBM
-im2col: each program receives 8 per-tile signal spans (tile = 128 frames,
-span = 128*hop + W samples) and assembles the (8*128, W) frame matrix in
-VMEM from ``W // hop`` strided row blocks (hop divides W for every octave:
-hop = 256 >> dec, W = 256). The filterbank matmul maps to the MXU
-((1024, 256) x (256, 128)); magnitude and log run on the VPU over the same
-tile. TPU tiling constraints shape the layout: row blocks of 8, last dims
-multiples of 128 (the 24 live bank columns are zero-padded to 128).
+in one VMEM-resident pass. Frames are gathered on the XLA side (im2col with
+overlap factor W/hop — see _octave_kernel for why in-kernel framing was
+abandoned); the filterbank matmul maps to the MXU
+((1024, 256) x (256, 128)) and magnitude + log run on the VPU over the same
+tile. TPU tiling constraints shape the layout: last dims padded to the 128
+lane width (the 24 live bank columns are zero-padded to 128).
 """
 
 from __future__ import annotations
@@ -28,42 +26,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 from zeronotesamba_tpu.ops.filterbank import XQTParams, octave_kernel_bank
 
-TILE_T = 128  # frames per tile; TILE_T*hop is 128-divisible for every hop
-ROWS = 8  # span rows per program (TPU sublane granularity)
 BANK_PAD = 128  # bank columns padded from 2*bpo=24 to the lane width
 
 
-def _octave_kernel(x_ref, bank_ref, out_ref, *, hop: int, w: int, bpo: int, log_eps: float):
-    """One program: 8 spans -> frames -> matmul -> |.| -> log.
+def _octave_kernel(x_ref, bank_ref, out_ref, *, bpo: int, log_eps: float):
+    """One program: frames @ bank -> |.| -> log, all VMEM-resident.
 
-    x_ref:    (ROWS, n_rows, hop)    pre-strided span rows, n_rows = TILE_T + w//hop - 1
-    bank_ref: (w, BANK_PAD)          [cos(12) | sin(12) | zeros]
-    out_ref:  (ROWS, TILE_T, BANK_PAD)  log-mags in cols [0, bpo)
+    x_ref:    (TILE_M, w)         pre-gathered frame rows
+    bank_ref: (w, BANK_PAD)       [cos(12) | sin(12) | zeros]
+    out_ref:  (TILE_M, BANK_PAD)  log-mags in cols [0, bpo)
+
+    The frame matrix is gathered on the XLA side (an im2col with overlap
+    factor w/hop): an earlier revision assembled frames IN-KERNEL from
+    hop-wide span rows via `x_ref[:, pl.ds(k, TILE_T), :]` inside a
+    fori_loop, which silently mis-lowers on real TPUs for hop in [8, 128]
+    (dynamic sublane offsets on lane-padded refs corrupt the last ~59 frames
+    of a 626-frame tile set; interpret mode agrees with XLA, hardware does
+    not). Static-shape gather + one plain (TILE_M, w) x (w, BANK_PAD) MXU
+    matmul has no such hazard and the duplicated-read HBM cost (~w/hop x
+    the signal, <= 5 MB per 10 s clip) is noise next to the encoder.
     """
-    n_shift = w // hop
-    # frames @ bank decomposed as a sum over hop-wide column groups — avoids
-    # materializing/concatenating the (ROWS*TILE_T, w) frame matrix, which
-    # Mosaic cannot lay out (offset concat of shifted slices):
-    #   resp[m] = sum_k rows[m + k] @ bank[k*hop : (k+1)*hop]
-    # Slicing happens on the REFS with pl.ds (value dynamic_slice is not
-    # lowered); fori_loop keeps the temporaries VMEM-bounded.
-
-    def body(k, resp):
-        block = x_ref[:, pl.ds(k, TILE_T), :].reshape(ROWS * TILE_T, hop)
-        bank_k = bank_ref[pl.ds(k * hop, hop), :]
-        # HIGHEST: full f32 via multi-pass MXU — the log epilogue amplifies
-        # bf16 matmul error unacceptably in low-magnitude cells.
-        return resp + jnp.dot(
-            block, bank_k, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
-        )
-
-    resp = jax.lax.fori_loop(0, n_shift, body, jnp.zeros((ROWS * TILE_T, BANK_PAD), jnp.float32))
+    # HIGHEST: full f32 via multi-pass MXU — the log epilogue amplifies
+    # bf16 matmul error unacceptably in low-magnitude cells.
+    resp = jnp.dot(
+        x_ref[:, :], bank_ref[:, :],
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
     re = resp[:, :bpo]
     im = resp[:, bpo : 2 * bpo]
     mag = jnp.sqrt(re * re + im * im + 1e-30)
     logmag = jnp.log(mag + log_eps)
-    padded = jnp.concatenate([logmag, jnp.zeros((ROWS * TILE_T, BANK_PAD - bpo), jnp.float32)], axis=1)
-    out_ref[:, :, :] = padded.reshape(ROWS, TILE_T, BANK_PAD)
+    out_ref[:, :] = jnp.concatenate(
+        [logmag, jnp.zeros((resp.shape[0], BANK_PAD - bpo), jnp.float32)], axis=1
+    )
+
+
+TILE_M = 1024  # frame rows per program: (1024, 256) @ (256, 128) per step
 
 
 def octave_log_xqt_pallas(
@@ -79,35 +77,29 @@ def octave_log_xqt_pallas(
 ) -> jnp.ndarray:
     """(B, L) -> (B, n_frames, bpo) log magnitudes for one octave."""
     b = sig.shape[0]
-    n_shift = w // hop
-    n_rows = TILE_T + n_shift - 1
-    n_tiles = (n_frames + TILE_T - 1) // TILE_T
-    span = n_rows * hop
-    need = (n_tiles - 1) * TILE_T * hop + span
+    need = (n_frames - 1) * hop + w
     if sig.shape[1] < need:
         sig = jnp.pad(sig, ((0, 0), (0, need - sig.shape[1])))
-    # Per-tile overlapping spans, pre-strided into hop-wide rows (XLA gather;
-    # Mosaic cannot split the minor dim in-kernel), padded to ROWS tiles.
-    idx = (jnp.arange(n_tiles)[:, None] * (TILE_T * hop) + jnp.arange(span)[None, :]).reshape(-1)
-    spans = jnp.take(sig, idx, axis=1).reshape(b * n_tiles, n_rows, hop)
-    r = spans.shape[0]
-    r_pad = ((r + ROWS - 1) // ROWS) * ROWS
-    if r_pad != r:
-        spans = jnp.pad(spans, ((0, r_pad - r), (0, 0), (0, 0)))
+    # XLA-side frame gather (see kernel docstring for why not in-kernel).
+    idx = (jnp.arange(n_frames)[:, None] * hop + jnp.arange(w)[None, :]).reshape(-1)
+    frames = jnp.take(sig, idx, axis=1).reshape(b * n_frames, w)
+    m = frames.shape[0]
+    m_pad = ((m + TILE_M - 1) // TILE_M) * TILE_M
+    if m_pad != m:
+        frames = jnp.pad(frames, ((0, m_pad - m), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_octave_kernel, hop=hop, w=w, bpo=bpo, log_eps=log_eps),
-        out_shape=jax.ShapeDtypeStruct((r_pad, TILE_T, BANK_PAD), jnp.float32),
-        grid=(r_pad // ROWS,),
+        functools.partial(_octave_kernel, bpo=bpo, log_eps=log_eps),
+        out_shape=jax.ShapeDtypeStruct((m_pad, BANK_PAD), jnp.float32),
+        grid=(m_pad // TILE_M,),
         in_specs=[
-            pl.BlockSpec((ROWS, n_rows, hop), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_M, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((w, BANK_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROWS, TILE_T, BANK_PAD), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((TILE_M, BANK_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(spans, bank)
-    out = out[:r].reshape(b, n_tiles * TILE_T, BANK_PAD)
-    return out[:, :n_frames, :bpo]
+    )(frames, bank)
+    return out[:m].reshape(b, n_frames, BANK_PAD)[:, :, :bpo]
 
 
 # ---------------------------------------------------------------------------
@@ -181,6 +173,42 @@ def _cascade_kernel(x_ref, *refs, n_levels: int, r_rows: int):
         x = y
 
 
+def _cascade_vmem_levels(r: int, n_levels: int, budget_bytes: int = 10 << 20) -> int:
+    """How many cascade levels fit the per-program scoped-VMEM budget.
+
+    Mosaic's scoped stack reuses buffers across levels but keeps a level's
+    inputs (= the previous level's outputs) live while computing it, so the
+    binding constraint is the cost of ADJACENT level pairs, not the sum over
+    all levels. Arrays pad their minor dim to the 128 lane width, so the
+    narrow deep levels — whose shift count (2*jmax+1) also grows as the row
+    width shrinks past the 81-tap support — are the expensive ones.
+    Compile-measured at r=883 (10 s clip, inside the full log_xqt_pallas
+    program): depth 7 allocates 21.2 MB and depth 6 still 16.2 MB against
+    the 16 MB scoped limit — both fail; depth 5 compiles. The 10 MB pairwise
+    budget picks depth 5 there and scales the choice with r for longer
+    signals (the surrounding program contributes ~1-2 MB of its own scoped
+    allocations, hence the margin below the hardware's 16 MB).
+    """
+    lane = 128
+    c = 40  # taps // 2 for the 81-tap half-band filter
+
+    def level_bytes(s: int) -> int:
+        w_in = _CASCADE_W0 >> s
+        jmax = (c + w_in - 1) // w_in + 1
+        n_terms = 2 * jmax + 1
+        xp = (r + 2 * jmax) * max(w_in, lane)
+        terms = (n_terms + 1) * r * lane  # each shifted dot + the y accumulator
+        return 4 * (xp + terms)
+
+    prev = 0
+    for s in range(n_levels):
+        cur = level_bytes(s)
+        if prev + cur > budget_bytes:
+            return s
+        prev = cur
+    return n_levels
+
+
 def decimation_cascade_pallas(
     x: jnp.ndarray, n_levels: int, *, interpret: bool = False
 ) -> Tuple[jnp.ndarray, ...]:
@@ -188,11 +216,19 @@ def decimation_cascade_pallas(
 
     Level s is the signal decimated s times (s = 1..n_levels). Caller is
     responsible for the generous-pad boundary contract described above.
+    Raises if the requested depth exceeds the scoped-VMEM budget for this
+    signal length — use log_xqt_pallas(fused_cascade=True), which caps the
+    fused depth via _cascade_vmem_levels and chains the rest on XLA.
     """
     b, length = x.shape
     if length % _CASCADE_W0 != 0:
         raise ValueError("cascade input length must be a multiple of 256")
     r = length // _CASCADE_W0
+    if not interpret and _cascade_vmem_levels(r, n_levels) < n_levels:
+        raise ValueError(
+            f"decimation cascade of {n_levels} levels at {r} rows exceeds the "
+            "scoped-VMEM budget; reduce levels (see _cascade_vmem_levels)"
+        )
     xr = x.reshape(b, r, _CASCADE_W0)
     mats = _cascade_mats(n_levels)
 
@@ -241,10 +277,14 @@ def log_xqt_pallas(
 
     ``fused_cascade=False``: the decimation cascade runs on XLA (tiny strided
     convs); each octave's framing+matmul+magnitude+log is one Pallas kernel.
-    ``fused_cascade=True``: all 7 decimation levels additionally run as ONE
-    Pallas kernel with VMEM-resident intermediates (decimation_cascade_pallas
-    rationale above). Both match ops.vqt.log_xqt to float32 accumulation
-    accuracy on every consumed sample.
+    ``fused_cascade=True``: the leading decimation levels additionally run as
+    ONE Pallas kernel with VMEM-resident intermediates
+    (decimation_cascade_pallas rationale above) — as many levels as fit the
+    per-program scoped-VMEM budget for this signal length
+    (_cascade_vmem_levels; ~3 of 7 for 10 s clips) — and the narrow deep
+    levels (negligible FLOPs) chain through the XLA decimator. Both match
+    ops.vqt.log_xqt to float32 accumulation accuracy on every consumed
+    sample.
     """
     from zeronotesamba_tpu.ops.vqt import _conv_constants, _decimate2, _reflect_pad_last
 
@@ -266,7 +306,16 @@ def log_xqt_pallas(
         x0 = _reflect_pad_last(y.astype(jnp.float32)[:, None, :], pad2)[:, 0, :]
         total = ((x0.shape[-1] + _CASCADE_W0 - 1) // _CASCADE_W0) * _CASCADE_W0
         x0 = jnp.pad(x0, ((0, 0), (0, total - x0.shape[-1])))
-        levels = (x0,) + decimation_cascade_pallas(x0, dec_max, interpret=interpret)
+        n_fused = min(dec_max, _cascade_vmem_levels(total // _CASCADE_W0, dec_max))
+        levels = (x0,)
+        if n_fused > 0:
+            levels += decimation_cascade_pallas(x0, n_fused, interpret=interpret)
+        # Deep narrow levels (negligible FLOPs) chain on the XLA decimator.
+        # Both paths share the taps; boundary conventions differ only inside
+        # the corrupted pad margin, which no octave frame consumes.
+        for _ in range(dec_max - n_fused):
+            nxt = _decimate2(levels[-1][:, None, :], dec_kern)[:, 0, :]
+            levels = levels + (nxt,)
         octaves = []
         for j in range(params.n_octaves - 1, -1, -1):
             dec = params.n_octaves - 1 - j

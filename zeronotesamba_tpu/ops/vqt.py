@@ -113,7 +113,17 @@ def xqt_magnitude(y: jnp.ndarray, params: XQTParams = XQTParams()) -> jnp.ndarra
         mag = jnp.sqrt(resp[:, :bpo] ** 2 + resp[:, bpo:] ** 2 + 1e-30)
         octaves.append(mag)
         if j > 0:
-            x = _decimate2(x, dec_kern)
+            # optimization_barrier: REQUIRED for correctness on real TPUs.
+            # When XLA fuses the whole multi-rate loop into one program, the
+            # TPU backend miscompiles the composition (octaves at dec 1-5
+            # read zeros for the last ~59 of 626 frames — magnitudes hit the
+            # log floor; every op is correct in isolation, and CPU agrees
+            # with the oracle). The barrier pins each decimation level as a
+            # materialized value, which restores bit-parity with the CPU
+            # path (measured max |dlog| 1.1e-4, pure f32 accumulation
+            # noise). Cost: 7 tiny HBM round-trips, unmeasurable next to
+            # the conv FLOPs.
+            x = jax.lax.optimization_barrier(_decimate2(x, dec_kern))
     # octaves[0] is the top octave (bins 84..95); stack lowest-first.
     return jnp.concatenate(octaves[::-1], axis=1)
 
