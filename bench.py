@@ -96,7 +96,12 @@ def _device_pipeline(variant: str):
     params_x = XQTParams()
     dtype = jnp.bfloat16 if variant == "bf16" else jnp.float32
     model = FusedDownstream(compute_dtype=dtype)
-    front = log_xqt_pallas if variant == "bf16" else log_xqt
+    # Fastest measured front-end (tools/bench_probe, batch 48 x 10 s): the
+    # Pallas fused-cascade VQT at 32 ms vs 56 ms for the XLA path.
+    if variant == "bf16":
+        front = lambda s, p: log_xqt_pallas(s, p, fused_cascade=True)
+    else:
+        front = log_xqt
     t = N_FRAMES
     mparams = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 96, t, 1)), jnp.zeros((1, 96, t, 1)))
 

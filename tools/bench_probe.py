@@ -32,11 +32,21 @@ def _timed(fn, make_args, n_iters, warmup=2):
 
     args_list = [make_args(i) for i in range(warmup + n_iters)]
     jax.block_until_ready(args_list)
+
+    def run(i):
+        # Force real execution with a 4-byte host read of ONE element —
+        # np.asarray(full output) would time the ~MB/s relay download of the
+        # whole array instead of the kernel (measured: +300 ms on a
+        # (48, 96, 626) VQT output).
+        out = fn(*args_list[i])
+        out = out[0] if isinstance(out, (tuple, list)) else out
+        float(out.reshape(-1)[0])
+
     for i in range(warmup):
-        float(np.asarray(fn(*args_list[i])).ravel()[0])
+        run(i)
     t0 = time.perf_counter()
     for i in range(warmup, warmup + n_iters):
-        float(np.asarray(fn(*args_list[i])).ravel()[0])
+        run(i)
     return (time.perf_counter() - t0) / n_iters
 
 
