@@ -1,0 +1,64 @@
+"""8-fold supervised CV at reference patience (beat_down.py:50-151 cadence).
+
+Regenerates results/synthetic/supervised_cv8.json on the current demo corpus
+(wide-timbre corpus A) for the vanilla and pretrained arms, reusing the
+demo suite's 120-epoch pretext checkpoint (results/synthetic/pretext_ckpt)
+for the pretrained init so the pretext stage is not retrained.
+
+Usage: python tools/run_cv8.py [--out results/synthetic/supervised_cv8.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/synthetic/supervised_cv8.json")
+    ap.add_argument("--ckpt", default="results/synthetic/pretext_ckpt")
+    ap.add_argument("--folds", type=int, default=8)
+    args = ap.parse_args()
+
+    from zeronotesamba_tpu.experiments.beat import (
+        BeatExperimentConfig, run_beat_experiment, summarize,
+    )
+    from zeronotesamba_tpu.experiments.demo_suite import DemoSuiteConfig, _build_corpus
+    from zeronotesamba_tpu.train.checkpoint import load_params
+
+    cfg = DemoSuiteConfig()
+    split_a, mix_a = _build_corpus(
+        cfg.n_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
+        freq_lo=700.0, freq_hi=2800.0, seed=cfg.seed + 1,
+    )
+    best_params = load_params(args.ckpt)
+    fused_params = {"params": {"pretext": best_params["params"]}}
+
+    bcfg = BeatExperimentConfig(
+        status="vanilla", lr=2e-4, eval_method="dbn", n_folds=args.folds,
+        max_epochs=cfg.max_epochs, patience=cfg.patience,
+        batch_size=cfg.batch_size, pos_weight=cfg.pos_weight, seed=cfg.seed,
+    )
+    res_van = run_beat_experiment(mix_a, bcfg, progress=False)
+    pcfg = dataclasses.replace(bcfg, status="pretrained", lr=2e-3)
+    res_pre = run_beat_experiment(split_a, pcfg, init_params=fused_params, progress=False)
+
+    out = {
+        "vanilla": {k: round(v, 4) for k, v in summarize(res_van).items()},
+        "pretrained": {k: round(v, 4) for k, v in summarize(res_pre).items()},
+        "n_folds": args.folds,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

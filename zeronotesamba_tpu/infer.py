@@ -20,7 +20,7 @@ from zeronotesamba_tpu.data.separation import separate
 from zeronotesamba_tpu.decode import decode as decode_fn
 from zeronotesamba_tpu.models.encoder import FusedDownstream
 from zeronotesamba_tpu.ops.filterbank import XQTParams
-from zeronotesamba_tpu.ops.vqt import log_xqt
+from zeronotesamba_tpu.ops.vqt import best_log_xqt
 
 SAMPLE_RATE = 16000
 FPS = 62.5
@@ -71,7 +71,7 @@ class BeatTracker:
             sig = resample_poly_host(sig, sr, SAMPLE_RATE)
         anchor, positive = separate(sig, SAMPLE_RATE, backend=separation, stem_dir=stem_dir)
         params = XQTParams(sample_rate=SAMPLE_RATE, mode=mode)
-        vqts = np.asarray(log_xqt(jnp.asarray(np.stack([anchor, positive])), params))
+        vqts = np.asarray(best_log_xqt(jnp.asarray(np.stack([anchor, positive])), params))
         anc = jnp.asarray(vqts[0])[None, :, :, None]
         pos = jnp.asarray(vqts[1])[None, :, :, None]
         anc_emb, pos_emb, fused = self._forward(self.params, anc, pos)

@@ -134,14 +134,34 @@ def log_xqt(y: jnp.ndarray, params: XQTParams = XQTParams()) -> jnp.ndarray:
     return jnp.log(xqt_magnitude(y, params) + params.log_eps)
 
 
+def best_log_xqt(y: jnp.ndarray, params: XQTParams = XQTParams()) -> jnp.ndarray:
+    """Fastest validated log-VQT for the current backend.
+
+    On TPU the fused-cascade Pallas kernel measures 32 ms vs 56 ms for the
+    XLA conv path at batch 48 x 10 s (tools/bench_probe), with parity to the
+    CPU ground truth at ~1e-4; everywhere else (CPU tests, oracles) the XLA
+    path runs natively. Override with ZNS_VQT_BACKEND=xla|pallas.
+    """
+    import os
+
+    choice = os.environ.get("ZNS_VQT_BACKEND", "auto")
+    on_tpu = jax.devices()[0].device_kind.startswith("TPU")
+    if choice == "pallas" or (choice == "auto" and on_tpu and params.hop == 256):
+        from zeronotesamba_tpu.ops.pallas.vqt_kernel import log_xqt_pallas
+
+        return log_xqt_pallas(y, params, fused_cascade=True)
+    return log_xqt(y, params)
+
+
 def generate_xqt(signal: np.ndarray, sample_rate: int, mode: str) -> np.ndarray:
     """Reference-API-compatible front end (input_rep.generate_XQT parity).
 
     Accepts a mono numpy signal, returns ``(96, T)`` float32 log-magnitudes
-    computed on the default JAX device.
+    computed on the default JAX device (via the fastest validated path for
+    that backend, see best_log_xqt).
     """
     if mode not in ("vqt", "cqt"):
         raise ValueError("Mode can only be vqt or cqt!")
     params = XQTParams(sample_rate=sample_rate, mode=mode)
-    out = log_xqt(jnp.asarray(signal, dtype=jnp.float32)[None, :], params)
+    out = best_log_xqt(jnp.asarray(signal, dtype=jnp.float32)[None, :], params)
     return np.asarray(out[0], dtype=np.float32)
