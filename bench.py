@@ -39,7 +39,9 @@ CLIP_S = 10.0
 SR = 16000
 # Large batch amortizes the fixed per-call overhead of the tunneled TPU
 # runtime (~30 ms/round-trip) so the metric reflects on-chip throughput.
-BATCH = 48
+# Swept 48/96/192 on v5e: 38.2 / 45.9 / 43.1 audio-min/s — 96 is the knee
+# (192 regresses; larger working sets start thrashing HBM).
+BATCH = 96
 N_FRAMES = 626
 
 # bf16 MXU peak per chip by device kind (TFLOP/s); MFU is reported against
