@@ -111,3 +111,23 @@ def test_no_log_floor_cells_on_noise():
     out = np.asarray(log_xqt(y, XQTParams()))
     floor = np.log(1e-9)
     assert (out < floor + 1.0).sum() == 0, f"{(out < floor + 1.0).sum()} cells at the log floor"
+
+
+def test_best_log_xqt_dispatch(monkeypatch):
+    """best_log_xqt: XLA path on CPU by default; env override forces a path."""
+    import jax.numpy as jnp
+
+    from zeronotesamba_tpu.ops import vqt as vqt_mod
+
+    y = jnp.zeros((1, 16000), jnp.float32)
+    p = XQTParams()
+    # auto on CPU -> the XLA path (bit-identical to log_xqt)
+    monkeypatch.delenv("ZNS_VQT_BACKEND", raising=False)
+    np.testing.assert_array_equal(
+        np.asarray(vqt_mod.best_log_xqt(y, p)), np.asarray(vqt_mod.log_xqt(y, p))
+    )
+    # explicit xla override is honored regardless of backend
+    monkeypatch.setenv("ZNS_VQT_BACKEND", "xla")
+    np.testing.assert_array_equal(
+        np.asarray(vqt_mod.best_log_xqt(y, p)), np.asarray(vqt_mod.log_xqt(y, p))
+    )

@@ -141,6 +141,12 @@ def train_pretext(
     from zeronotesamba_tpu.utils.profiling import trace
 
     k = max(1, int(cfg.tracks_per_step))
+    if mesh is not None and k > 1:
+        raise ValueError(
+            "tracks_per_step > 1 is a single-device demo-scale lever; the "
+            "sharded staged step shards one track's crops across the mesh "
+            "(scalar track_idx) and does not accept a track vector"
+        )
     for epoch in range(start_epoch, cfg.num_epochs):
         order = rng.permutation(len(train_bank))
         if k > 1:  # pad the order so every update sees exactly k tracks

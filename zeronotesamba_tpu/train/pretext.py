@@ -157,7 +157,8 @@ def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
     run ~1 MB/s through the relay; a 16-shift batch is ~38 MB).
 
     ``track_idx`` may be a scalar (one track per step, reference cadence) or
-    a (k,) vector: k per-track NT-Xent batches evaluated in one fused step
+    — on the single-device step only; the mesh step shards one track's crops
+    and takes a scalar — a (k,) vector: k per-track NT-Xent batches evaluated in one fused step
     with the mean loss — gradient accumulation across tracks. Each track's
     loss keeps the exact reference semantics (negatives = other shifts of
     the SAME track); averaging k tracks per update divides the plateau's
