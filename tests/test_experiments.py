@@ -57,12 +57,21 @@ def test_measures_report_roundtrip(tmp_path, rng):
     table = quantile_table(rows)
     assert set(table) == {"l2_l1", "gini", "kurtosis", "shannon", "app_entropy", "samp_entropy", "max_acf"}
     out = str(tmp_path / "m")
-    write_measures_report(table, out, "van")
-    import json, os
+    write_measures_report(table, out, "van", run_id="r1", fresh=True)
+    write_measures_report(table, out, "rand", run_id="r1")
+    import csv, json, os
 
     assert os.path.exists(out + ".json") and os.path.exists(out + ".csv")
     with open(out + ".json") as fh:
-        assert json.load(fh)["label"] == "van"
+        doc = json.load(fh)
+    # Same-run arms merge under one stamped run_id (VERDICT r2 weak #4:
+    # regenerations used to append identically-labeled rows forever).
+    assert doc["run_id"] == "r1" and set(doc["arms"]) == {"van", "rand"}
+    # A fresh regeneration truncates instead of appending.
+    write_measures_report(table, out, "van", run_id="r2", fresh=True)
+    with open(out + ".csv") as fh:
+        rows = list(csv.reader(fh))
+    assert all(r[0] == "r2" for r in rows[1:]) and len(rows) == 1 + len(table)
 
 
 def test_micro_beat_experiment():
@@ -80,11 +89,12 @@ def test_micro_beat_experiment():
 def test_demo_suite_corpus_builder():
     from zeronotesamba_tpu.experiments.demo_suite import _build_corpus
 
-    split, mix = _build_corpus(2, 4.0, bpm_lo=90, bpm_hi=120, freq_lo=1200.0, freq_hi=2200.0, seed=3)
-    assert len(split) == len(mix) == 2
+    split, mix, wavs = _build_corpus(2, 4.0, bpm_lo=90, bpm_hi=120, freq_lo=1200.0, freq_hi=2200.0, seed=3)
+    assert len(split) == len(mix) == len(wavs) == 2
     assert split[0].vqt.shape[0] == 2 and mix[0].vqt.shape[0] == 1
     assert split.names == mix.names
     np.testing.assert_allclose(split[0].pulse, mix[0].pulse)
+    assert wavs[0].dtype == np.float32 and wavs[0].ndim == 1
 
 
 def test_zero_shot_validation_mode():

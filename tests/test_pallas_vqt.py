@@ -11,11 +11,16 @@ from zeronotesamba_tpu.ops.pallas.vqt_kernel import log_xqt_pallas, octave_log_x
 from zeronotesamba_tpu.ops.vqt import log_xqt
 
 
-def test_pallas_matches_xla_path(rng):
-    p = XQTParams()
+@pytest.mark.parametrize("mode", ["vqt", "cqt"])
+@pytest.mark.parametrize("fused", [False, True])
+def test_pallas_matches_xla_path(rng, mode, fused):
+    """Both Pallas routes x both filterbank modes vs the XLA path — cqt
+    shares hop=256 so best_log_xqt auto-routes it through the fused Pallas
+    path on TPU (ADVICE r2: that route previously had no parity test)."""
+    p = XQTParams(mode=mode)
     y = jnp.asarray(rng.standard_normal((2, 48000)).astype(np.float32))
     ref = np.asarray(log_xqt(y, p))
-    out = np.asarray(log_xqt_pallas(y, p, interpret=True))
+    out = np.asarray(log_xqt_pallas(y, p, interpret=True, fused_cascade=fused))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=5e-4)
 

@@ -23,29 +23,13 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def build_corpora(n: int, seed: int, *, harmonics: int = 5, freq_lo: float = 1200.0,
-                  freq_hi: float = 2200.0, burst: float = 0.0):
-    """(split_ds, mix_ds) with per-song random fundamentals (demo-suite corpus A)."""
-    from zeronotesamba_tpu.data.datasets import BeatDataset, SongRecord
-    from zeronotesamba_tpu.data.pulse import beat_pulse
-    from zeronotesamba_tpu.data.synthetic import percussive_pair
-    from zeronotesamba_tpu.ops.vqt import generate_xqt
+def build_corpora(n: int, seed: int, *, freq_lo: float = 700.0,
+                  freq_hi: float = 2800.0, difficulty: float = 1.0):
+    """(split_ds, mix_ds): the demo-suite corpus-A builder at a difficulty."""
+    from zeronotesamba_tpu.experiments.demo_suite import _build_corpus
 
-    rng = np.random.default_rng(seed)
-    split, mix = BeatDataset(), BeatDataset()
-    for i in range(n):
-        bpm = float(rng.uniform(70, 180))
-        freq = float(np.exp(rng.uniform(np.log(freq_lo), np.log(freq_hi))))
-        anchor, positive, beats = percussive_pair(12.0, bpm, seed=seed * 10007 + i,
-                                                  harmonics=harmonics, click_freq=freq, burst=burst)
-        vq_a = generate_xqt(anchor, 16000, "vqt")
-        vq_p = generate_xqt(positive, 16000, "vqt")
-        vq_m = generate_xqt((anchor + positive).astype(np.float32), 16000, "vqt")
-        t = vq_m.shape[-1]
-        common = dict(pulse=beat_pulse(beats, t, 62.5), down_pulse=np.zeros(t, np.float32),
-                      beat_times=np.asarray(beats), downbeat_times=np.zeros(0))
-        split.add(SongRecord(name=f"m{i:03d}", vqt=np.stack([vq_a, vq_p]), **common))
-        mix.add(SongRecord(name=f"m{i:03d}", vqt=vq_m[None], **common))
+    split, mix, _ = _build_corpus(n, 12.0, bpm_lo=70, bpm_hi=180, freq_lo=freq_lo,
+                                  freq_hi=freq_hi, seed=seed, difficulty=difficulty)
     return split, mix
 
 
@@ -73,7 +57,7 @@ def run_variant(staged, ds, train_names, val_names, *, lr, pos_weight, seed, epo
 def probe_supervised(args):
     from zeronotesamba_tpu.train.supervised import StagedDataset
 
-    _, mix = build_corpora(args.songs, seed=1)
+    _, mix = build_corpora(args.songs, seed=1, difficulty=args.difficulty)
     names = list(mix.names)
     train_names, val_names = names[: args.songs - 4], names[args.songs - 4 :]
     staged = StagedDataset(mix.records, 128)
@@ -104,11 +88,15 @@ def probe_pretext(args):
     from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig, run_beat_experiment
     from zeronotesamba_tpu.experiments.pretext_driver import PretextRunConfig, train_pretext
 
-    split, _ = build_corpora(args.songs, seed=1, harmonics=args.harmonics,
-                             freq_lo=args.freq_lo, freq_hi=args.freq_hi, burst=args.burst)
+    split, _ = build_corpora(args.songs, seed=1, freq_lo=args.freq_lo,
+                             freq_hi=args.freq_hi, difficulty=args.difficulty)
     bank = np.stack([r.vqt for r in split]).astype(np.float32)
     n_val = max(2, len(bank) // 8)
     report = {}
+    zcfg0 = BeatExperimentConfig(status="pretrained", pre="validation", eval_method="dbn", batch_size=8)
+    res0 = run_beat_experiment(split, zcfg0, init_params=None, progress=False)
+    report["random_init"] = {"zero_shot_f1": round(float(res0[0].test_metrics[0]), 4)}
+    print(json.dumps({"random_init": report["random_init"]}), flush=True)
     for lr in [float(s) for s in args.lrs.split(",")]:
         t0 = time.time()
         cfg = PretextRunConfig(task="zerons", num_epochs=args.epochs_pretext, batch_size=16, lr=lr, seed=0,
@@ -134,10 +122,9 @@ def main():
     ap.add_argument("--epochs-pretext", type=int, default=10)
     ap.add_argument("--lrs", default="1e-6,1e-5,3e-5,1e-4", help="pretext lr grid (--pretext mode)")
     ap.add_argument("--accum", type=int, default=1, help="tracks accumulated per update (--pretext mode)")
-    ap.add_argument("--harmonics", type=int, default=5)
-    ap.add_argument("--freq-lo", type=float, default=1200.0)
-    ap.add_argument("--freq-hi", type=float, default=2200.0)
-    ap.add_argument("--burst", type=float, default=0.0)
+    ap.add_argument("--freq-lo", type=float, default=700.0)
+    ap.add_argument("--freq-hi", type=float, default=2800.0)
+    ap.add_argument("--difficulty", type=float, default=1.0)
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--songs", type=int, default=18)
     ap.add_argument("--pretext", action="store_true")

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--out", default="results/synthetic/supervised_cv8.json")
     ap.add_argument("--ckpt", default="results/synthetic/pretext_ckpt")
     ap.add_argument("--folds", type=int, default=8)
+    ap.add_argument("--difficulty", type=float, default=1.0)
     args = ap.parse_args()
 
     from zeronotesamba_tpu.experiments.beat import (
@@ -34,9 +35,10 @@ def main():
     from zeronotesamba_tpu.train.checkpoint import load_params
 
     cfg = DemoSuiteConfig()
-    split_a, mix_a = _build_corpus(
+    split_a, mix_a, _ = _build_corpus(
         cfg.n_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
         freq_lo=700.0, freq_hi=2800.0, seed=cfg.seed + 1,
+        difficulty=args.difficulty,
     )
     best_params = load_params(args.ckpt)
     fused_params = {"params": {"pretext": best_params["params"]}}
@@ -54,6 +56,7 @@ def main():
         "vanilla": {k: round(v, 4) for k, v in summarize(res_van).items()},
         "pretrained": {k: round(v, 4) for k, v in summarize(res_pre).items()},
         "n_folds": args.folds,
+        "difficulty": args.difficulty,
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=2)

@@ -92,6 +92,16 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--data-parallel", action="store_true", help="shard batches over all devices")
     _add_common(pt)
 
+    ts = sub.add_parser("train-separator", help="train the learned drum/rest mask separator")
+    ts.add_argument("--steps", type=int, default=1500)
+    ts.add_argument("--batch-size", type=int, default=8)
+    ts.add_argument("--lr", type=float, default=3e-4)
+    ts.add_argument("--train-songs", type=int, default=40)
+    ts.add_argument("--val-songs", type=int, default=8)
+    ts.add_argument("--checkpoint", default="models/separator", help="best-SI-SDR params path")
+    ts.add_argument("--out", default=None, help="write the SI-SDR report JSON here")
+    ts.add_argument("--seed", type=int, default=0)
+
     o = sub.add_parser("old-school", help="Ellis DP baseline on raw audio")
     o.add_argument("--data", required=True, help="npz cache (uses stored beat times)")
     o.add_argument("--audio-root", required=True, help="directory of wavs")
@@ -115,12 +125,15 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--max-epochs", type=int, default=60)
     d.add_argument("--folds", type=int, default=4)
     d.add_argument("--clmr", action="store_true", help="also run the CLMR pretext + finetune arm")
+    d.add_argument("--difficulty", type=float, default=1.0,
+                   help="corpus hardness scale (0 = clean round-2 corpora)")
     _add_common(d)
 
     i = sub.add_parser("infer", help="track one audio file")
     i.add_argument("audio", help="wav file")
     i.add_argument("--params", default=None)
-    i.add_argument("--separation", default="hpss", choices=["hpss", "stems", "mix"])
+    i.add_argument("--separation", default="hpss", choices=["hpss", "stems", "learned", "mix"])
+    i.add_argument("--sep-model", default="models/separator", help="mask-net params (--separation learned)")
     i.add_argument("--decoder", default="dbn", choices=["dbn", "librosa", "threshold"])
     i.add_argument("--out", default=None, help="write JSON result here")
 
@@ -132,7 +145,8 @@ def build_parser() -> argparse.ArgumentParser:
     td = sub.add_parser("track-dir", help="batch-track every wav in a directory")
     td.add_argument("audio_dir")
     td.add_argument("--params", default=None)
-    td.add_argument("--separation", default="hpss", choices=["hpss", "stems", "mix"])
+    td.add_argument("--separation", default="hpss", choices=["hpss", "stems", "learned", "mix"])
+    td.add_argument("--sep-model", default="models/separator", help="mask-net params (--separation learned)")
     td.add_argument("--decoder", default="dbn", choices=["dbn", "librosa", "threshold"])
     td.add_argument("--out", required=True, help="output JSON (one entry per file)")
 
@@ -220,6 +234,25 @@ def main(argv=None):
                                seed=args.seed, checkpoint_path=args.checkpoint)
         train_pretext(train_bank, val_bank, cfg, mesh=mesh)
 
+    elif args.cmd == "train-separator":
+        from zeronotesamba_tpu.train.separator import (
+            SeparatorConfig, hpss_baseline_si_sdr, synth_bank, train_separator,
+        )
+
+        cfg = SeparatorConfig(steps=args.steps, batch_size=args.batch_size, lr=args.lr,
+                              seed=args.seed, checkpoint_path=args.checkpoint)
+        _, hist = train_separator(cfg, train_songs=args.train_songs, val_songs=args.val_songs)
+        base_d, base_r = hpss_baseline_si_sdr(synth_bank(args.val_songs, 12.0, args.seed + 999))
+        payload = {
+            "learned_si_sdr_drums": max(hist["si_sdr_drums"]),
+            "learned_si_sdr_rest": max(hist["si_sdr_rest"]),
+            "hpss_si_sdr_drums": base_d,
+            "hpss_si_sdr_rest": base_r,
+            "history": hist,
+        }
+        print(json.dumps({k: v for k, v in payload.items() if k != "history"}, indent=2))
+        _dump(args.out, payload)
+
     elif args.cmd == "old-school":
         import os
 
@@ -249,8 +282,7 @@ def main(argv=None):
         import jax.numpy as jnp
 
         from zeronotesamba_tpu.data.datasets import BeatDataset
-        from zeronotesamba_tpu.experiments.measures import embedding_measures, quantile_table, write_measures_report
-        from zeronotesamba_tpu.train.supervised import StagedDataset, SupervisedConfig, eval_step, init_state
+        from zeronotesamba_tpu.experiments.measures import measure_arm, write_measures_report
 
         if args.status == "std":
             # NT-Xent validation re-run over a saved bank (reference
@@ -281,36 +313,9 @@ def main(argv=None):
             raise SystemExit("--data required (except for --status std)")
         ds = BeatDataset.load(args.data)
         status = args.model or ("pretrained" if ds[0].vqt.shape[0] == 2 else "vanilla")
-        cfg = SupervisedConfig(status=status)
-        state = init_state(cfg, ds[0], jax.random.PRNGKey(0), params=_load_params(args.params))
-        staged = StagedDataset(ds.records, cfg.bucket_frames)
-        stream_fn = None
-        if args.stream != "fused" and status == "pretrained":
-            # Per-stream pulses (reference meastatus 'ros'/'drums' measure the
-            # anchor / percussive streams separately, measures.py:341-392).
-            import jax as _jax
-
-            which = 0 if args.stream == "anchor" else 1
-
-            @_jax.jit
-            def stream_fn(params, vqt):
-                la, lb = state.apply_fn(params, vqt[:, 0, :, :, None], vqt[:, 1, :, :, None], method="logits")
-                return _jax.nn.sigmoid(la if which == 0 else lb)
-
-        rows = []
-        for t, idx in staged.plan(ds.names, cfg.batch_size):
-            bucket = staged.buckets[t]
-            sel = jnp.asarray(idx)
-            vqt_sel = jnp.take(bucket.vqt, sel, axis=0)
-            if stream_fn is not None:
-                out = stream_fn(state.params, vqt_sel)
-            else:
-                _, out = eval_step(state, vqt_sel, jnp.take(bucket.pulse, sel, axis=0),
-                                   jnp.take(bucket.mask, sel, axis=0), status)
-            out = np.asarray(out)
-            for b, row in enumerate(idx):
-                rows.append(embedding_measures(out[b, : bucket.n_frames[row]]))
-        table = quantile_table(rows)
+        # Per-stream pulses (reference meastatus 'ros'/'drums' measure the
+        # anchor / percussive streams separately, measures.py:341-392).
+        table = measure_arm(ds, status, _load_params(args.params), stream=args.stream)
         write_measures_report(table, args.out, args.status)
         print(json.dumps(table, indent=2))
 
@@ -319,7 +324,8 @@ def main(argv=None):
 
         cfg = DemoSuiteConfig(
             out_dir=args.out, n_songs=args.songs, pretext_epochs=args.pretext_epochs,
-            max_epochs=args.max_epochs, folds=args.folds, clmr=args.clmr, seed=args.seed,
+            max_epochs=args.max_epochs, folds=args.folds, clmr=args.clmr,
+            difficulty=args.difficulty, seed=args.seed,
         )
         print(json.dumps(run_demo_suite(cfg), indent=2))
 
@@ -327,7 +333,8 @@ def main(argv=None):
         from zeronotesamba_tpu.infer import BeatTracker
 
         tracker = BeatTracker(params=_load_params(args.params))
-        res = tracker.track_file(args.audio, separation=args.separation, decoder=args.decoder)
+        res = tracker.track_file(args.audio, separation=args.separation, decoder=args.decoder,
+                                 sep_model=args.sep_model if args.separation == "learned" else None)
         payload = {
             "n_frames": int(res.fused_pulse.shape[0]),
             "beat_times": [float(t) for t in (res.beat_times if res.beat_times is not None else [])],
@@ -367,7 +374,8 @@ def main(argv=None):
                 continue
             try:
                 res = tracker.track_file(os.path.join(args.audio_dir, f),
-                                         separation=args.separation, decoder=args.decoder)
+                                         separation=args.separation, decoder=args.decoder,
+                                         sep_model=args.sep_model if args.separation == "learned" else None)
                 results[f] = [float(t) for t in res.beat_times]
             except (ValueError, OSError) as e:
                 results[f] = {"error": str(e)}

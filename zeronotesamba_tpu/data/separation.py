@@ -9,6 +9,8 @@ boundary with three backends:
   pretext.py:113-126) — use this to consume Spleeter output produced offline;
 - ``hpss``: built-in TPU median-filter HPSS (ops/hpss.py), percussive stream
   stands in for drums;
+- ``learned``: the trained STFT-mask separator (models/separator.py, trained
+  by train/separator.py — the self-contained Spleeter-class capability);
 - ``mix``: anchor = positive = mix (CLMR-style degenerate pair).
 """
 
@@ -39,7 +41,12 @@ def load_stem_dir(track_dir: str, target_sr: int = 16000) -> Dict[str, np.ndarra
 
 
 def separate(
-    signal: np.ndarray, sr: int, backend: str = "hpss", *, stem_dir: str | None = None
+    signal: np.ndarray,
+    sr: int,
+    backend: str = "hpss",
+    *,
+    stem_dir: str | None = None,
+    model_path: str | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Return (anchor, positive) streams for a mono signal."""
     if backend == "stems":
@@ -51,7 +58,15 @@ def separate(
 
         harmonic, percussive = hpss_host(signal)
         return harmonic, percussive
+    if backend == "learned":
+        if model_path is None:
+            raise ValueError("backend='learned' requires model_path (train via `train-separator`)")
+        from zeronotesamba_tpu.train.checkpoint import load_params
+        from zeronotesamba_tpu.train.separator import separate_learned
+
+        drums, rest = separate_learned(signal, load_params(model_path))
+        return rest, drums  # (anchor=rest-of-signal, positive=drums)
     if backend == "mix":
         sig = np.asarray(signal, dtype=np.float32)
         return sig, sig.copy()
-    raise ValueError(f"unknown separation backend {backend!r} (stems|hpss|mix)")
+    raise ValueError(f"unknown separation backend {backend!r} (stems|hpss|learned|mix)")

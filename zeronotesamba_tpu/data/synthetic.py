@@ -4,13 +4,100 @@ The reference repo has no tests and relies on real datasets; this framework
 uses synthetic click tracks (clicks + harmonic accompaniment + noise) with
 exactly known beat times as the fixture for DSP, decoder, metric, and
 end-to-end training tests.
+
+Two regimes share one generator:
+
+- the DEFAULTS (all difficulty knobs at 0) produce metronomic, clean tracks —
+  the deterministic fixture the DSP/decoder/metric tests need;
+- the difficulty knobs (``jitter_s``, ``drift``, ``amp_sd``, ``drop_p``,
+  ``offbeat``...) add the properties that make real-music beat tracking hard:
+  expressive timing, slow tempo drift, dynamics, ghost beats, and off-beat
+  distractor onsets with their own timbre. The demo-suite corpora
+  (experiments/demo_suite.py) use these so the quality grid discriminates
+  between methods instead of saturating at F1~1.0 (VERDICT r2 weak #1).
 """
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
+
+
+def _beat_grid(
+    duration_s: float,
+    bpm: float,
+    phase_s: float,
+    rng: np.random.Generator,
+    *,
+    jitter_s: float = 0.0,
+    drift: float = 0.0,
+    drift_cycle_beats: float = 12.0,
+) -> np.ndarray:
+    """Beat times with optional slow tempo drift and per-beat timing jitter.
+
+    ``drift`` sinusoidally modulates the inter-beat period by up to that
+    fraction over a ~``drift_cycle_beats``-beat cycle (rubato); ``jitter_s``
+    adds i.i.d. Gaussian offsets to each beat (expressive micro-timing).
+    The returned times are where the onsets actually land — they are the
+    annotation, exactly as human annotators mark played (not nominal) beats.
+    """
+    period = 60.0 / bpm
+    phi = rng.uniform(0, 2 * np.pi) if drift else 0.0
+    times = []
+    t = phase_s
+    k = 0
+    while t < duration_s - 0.05:
+        times.append(t)
+        p_k = period * (1.0 + drift * np.sin(2 * np.pi * k / drift_cycle_beats + phi))
+        t += p_k
+        k += 1
+    times = np.asarray(times, dtype=np.float64)
+    if jitter_s:
+        times = times + rng.normal(0.0, jitter_s, size=times.shape)
+        times = np.sort(times)
+        times = times[(times >= 0.0) & (times < duration_s - 0.02)]
+    return times
+
+
+def _tone_burst(
+    freq: float, length_s: float, sr: int, harmonics: int, decay: float = 0.2
+) -> np.ndarray:
+    """Exponentially enveloped harmonic stack (one synthetic drum hit)."""
+    n = max(1, int(length_s * sr))
+    env = np.exp(-np.arange(n) / (decay * n))
+    tt = np.arange(n) / sr
+    tone = np.zeros(n)
+    if freq > 0:
+        for h in range(1, max(1, harmonics) + 1):
+            f_h = freq * h
+            if f_h >= sr / 2:
+                break
+            tone += np.sin(2 * np.pi * f_h * tt) / np.sqrt(h)
+    return env * tone
+
+
+def _add_hits(
+    sig: np.ndarray,
+    times: np.ndarray,
+    amps: np.ndarray,
+    proto: np.ndarray,
+    sr: int,
+    rng: np.random.Generator,
+    burst: float = 0.0,
+) -> None:
+    """Mix amplitude-scaled copies of ``proto`` into ``sig`` at ``times``."""
+    n = len(sig)
+    m = len(proto)
+    env = np.exp(-np.arange(m) / (0.2 * m))
+    for bt, a in zip(times, amps):
+        i = int(round(bt * sr))
+        if i >= n:
+            continue
+        piece = proto[: min(m, n - i)]
+        if burst:
+            piece = piece + burst * (env * rng.standard_normal(m))[: len(piece)]
+        sig[i : i + len(piece)] += a * piece
 
 
 def click_track(
@@ -25,6 +112,13 @@ def click_track(
     phase_s: float = 0.1,
     harmonics: int = 1,
     burst: float = 0.0,
+    jitter_s: float = 0.0,
+    drift: float = 0.0,
+    amp_sd: float = 0.0,
+    drop_p: float = 0.0,
+    offbeat: float = 0.0,
+    offbeat_p: float = 0.75,
+    offbeat_freq: Optional[float] = None,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """A percussive click track at ``bpm`` with optional harmonic accompaniment.
@@ -40,36 +134,49 @@ def click_track(
     that no spectral feature could bridge, not a training/transfer bug.
 
     ``burst > 0`` adds an enveloped white-noise transient of that relative
-    amplitude to each click — the broadband attack real drum hits have.
-    Tonal-only clicks leave most VQT rows at the noise floor; the broadband
-    attack excites every octave at the beat instant, which is what gives the
-    contrastive pretext task a usable alignment signal at initialization
-    (see demo_suite._build_corpus).
+    amplitude to each click — the broadband attack real drum hits have
+    (exposed via tools/probe_plateau; the demo corpus relies on harmonics
+    for octave coverage instead).
+
+    Difficulty knobs (all default 0 = the metronomic clean fixture):
+
+    - ``jitter_s``: per-beat Gaussian timing offset (expressive microtiming;
+      annotations follow the played time).
+    - ``drift``: sinusoidal tempo modulation depth over a ~12-beat cycle.
+    - ``amp_sd``: per-beat log-normal amplitude sd (dynamics).
+    - ``drop_p``: probability a beat's hit is attenuated to 10% (ghost
+      beat — still annotated, like a drummer leaving out a hit).
+    - ``offbeat``: relative amplitude of distractor hits at mid-beat
+      positions with their own brighter/shorter timbre (``offbeat_freq``,
+      default 2.7x the click fundamental — a "hi-hat" against the "kick").
+      These create the onset-vs-beat ambiguity that makes real beat
+      tracking a learning problem rather than onset thresholding.
+    - ``offbeat_p``: per-gap probability of a distractor hit.
     """
     rng = np.random.default_rng(seed)
     n = int(round(duration_s * sr))
     t = np.arange(n) / sr
     sig = np.zeros(n, dtype=np.float64)
 
-    period = 60.0 / bpm
-    beat_times = np.arange(phase_s, duration_s - click_len_s, period)
-    click_n = int(click_len_s * sr)
-    env = np.exp(-np.arange(click_n) / (0.2 * click_n))
-    tt = np.arange(click_n) / sr
-    tone = np.zeros(click_n)
-    if click_freq > 0:
-        for h in range(1, max(1, harmonics) + 1):
-            f_h = click_freq * h
-            if f_h >= sr / 2:
-                break
-            tone += np.sin(2 * np.pi * f_h * tt) / np.sqrt(h)
-    click = env * tone
-    for bt in beat_times:
-        i = int(round(bt * sr))
-        piece = click[: max(0, min(click_n, n - i))]
-        if burst:
-            piece = piece + burst * (env * rng.standard_normal(click_n))[: len(piece)]
-        sig[i : i + click_n] += piece
+    beat_times = _beat_grid(duration_s, bpm, phase_s, rng, jitter_s=jitter_s, drift=drift)
+    proto = _tone_burst(click_freq, click_len_s, sr, harmonics)
+
+    amps = np.ones(len(beat_times))
+    if amp_sd:
+        amps *= np.exp(rng.normal(0.0, amp_sd, size=amps.shape))
+    if drop_p:
+        amps[rng.random(len(amps)) < drop_p] *= 0.1
+    _add_hits(sig, beat_times, amps, proto, sr, rng, burst=burst)
+
+    if offbeat and len(beat_times) > 1:
+        gaps = np.diff(beat_times)
+        mids = beat_times[:-1] + 0.5 * gaps
+        keep = rng.random(len(mids)) < offbeat_p
+        mids = mids[keep]
+        ob_freq = offbeat_freq if offbeat_freq is not None else 2.7 * max(click_freq, 200.0)
+        ob_proto = _tone_burst(min(ob_freq, 0.45 * sr), 0.6 * click_len_s, sr, harmonics, decay=0.12)
+        ob_amps = offbeat * np.exp(rng.normal(0.0, 0.3, size=len(mids)))
+        _add_hits(sig, mids, ob_amps, ob_proto, sr, rng, burst=burst)
 
     if accomp:
         # A slow chord progression so the "anchor" stream is non-trivial.
@@ -91,6 +198,15 @@ def percussive_pair(
     harmonics: int = 1,
     click_freq: float = 1500.0,
     burst: float = 0.0,
+    jitter_s: float = 0.0,
+    drift: float = 0.0,
+    amp_sd: float = 0.0,
+    drop_p: float = 0.0,
+    offbeat: float = 0.0,
+    offbeat_p: float = 0.75,
+    harm_offbeat: float = 0.0,
+    noise: float = 0.002,
+    bleed: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(anchor, positive, beat_times): harmonic-only vs percussive-only stems.
 
@@ -101,16 +217,43 @@ def percussive_pair(
     song has its own drum sound); a corpus with ONE global click frequency
     lets the encoder memorize exact VQT bins, which destroys cross-corpus
     transfer in a way the reference's cross_data.xlsx never exhibits.
+
+    Difficulty knobs forward to :func:`click_track` on the percussive stem;
+    ``harm_offbeat`` additionally spikes the harmonic stem's amplitude
+    envelope at off-beat positions (syncopated comping — a distractor pulse
+    in the NON-percussive stream, so the beat is not recoverable from
+    "any amplitude bump anywhere"). ``bleed`` cross-mixes a fraction of each
+    stem into the other — the residual a real separator (Spleeter/HPSS)
+    always leaves, so the pretext views are never perfectly disjoint.
     """
     clicks, beats = click_track(
         duration_s, bpm, sr, accomp=False, noise=0.0, harmonics=harmonics,
-        click_freq=click_freq, burst=burst, seed=seed,
+        click_freq=click_freq, burst=burst, jitter_s=jitter_s, drift=drift,
+        amp_sd=amp_sd, drop_p=drop_p, offbeat=offbeat, offbeat_p=offbeat_p,
+        seed=seed,
     )
     harm, _ = click_track(duration_s, bpm, sr, click_freq=0.0, click_len_s=1e-4, accomp=True, seed=seed + 1)
     rng = np.random.default_rng(seed + 2)
-    # Amplitude-modulate the harmonic stem at the beat rate so both streams
-    # carry the pulse (as real music stems do).
+    # Amplitude-modulate the harmonic stem at the played beats so both
+    # streams carry the pulse (as real music stems do). The envelope follows
+    # the ACTUAL (jittered/drifting) beat times, not a fixed cosine grid.
     t = np.arange(len(harm)) / sr
-    mod = 0.6 + 0.4 * np.clip(np.cos(2 * np.pi * (t - 0.1) * bpm / 60.0), 0, 1) ** 2
-    anchor = (harm * mod + 0.002 * rng.standard_normal(len(harm))).astype(np.float32)
+    env = np.zeros(len(harm))
+    width = 0.5 * 60.0 / bpm
+    for bt in beats:
+        env += np.clip(1.0 - np.abs(t - bt) / width, 0.0, 1.0) ** 2
+    mod = 0.6 + 0.4 * np.clip(env, 0.0, 1.0)
+    if harm_offbeat and len(beats) > 1:
+        mids = beats[:-1] + 0.5 * np.diff(beats)
+        keep = rng.random(len(mids)) < 0.6
+        spike = np.zeros(len(harm))
+        for mt in mids[keep]:
+            spike += np.clip(1.0 - np.abs(t - mt) / (0.35 * width), 0.0, 1.0) ** 2
+        mod = mod + harm_offbeat * np.clip(spike, 0.0, 1.0)
+    anchor = harm * mod
+    if bleed:
+        anchor, clicks = anchor + bleed * clicks, clicks + bleed * anchor
+    anchor = (anchor + noise * rng.standard_normal(len(harm))).astype(np.float32)
+    if noise:
+        clicks = (clicks + noise * rng.standard_normal(len(clicks))).astype(np.float32)
     return anchor, clicks, beats

@@ -48,6 +48,10 @@ class BeatExperimentConfig:
     pos_weight: float = 1.0  # positive-class BCE weight (losses/bce.py)
     score_train: bool = False  # the reference scores beats inside the train
     # loop every epoch (epochs.py:83-91); off by default for speed
+    extra_eval_methods: tuple = ()  # additionally score the held-out fold
+    # with these decoders (the reference publishes dbn vs threshold vs
+    # librosa-DP columns side by side, unsupervised.xlsx/beat_tracking.xlsx)
+    return_params: bool = False  # keep each fold's best params on the result
 
 
 @dataclasses.dataclass
@@ -56,6 +60,8 @@ class FoldResult:
     test_metrics: np.ndarray  # (6,)
     best_val_f1: float
     epochs_run: int
+    extra_metrics: Optional[Dict[str, np.ndarray]] = None  # decoder -> (6,)
+    best_params: Optional[object] = None  # only when cfg.return_params
 
 
 def _folds(names: List[str], n_folds: int, rng: random.Random) -> List[List[str]]:
@@ -88,13 +94,25 @@ def run_beat_experiment(
 
     staged = StagedDataset(ds.records, cfg.bucket_frames)  # device-resident, once
 
+    def _extra_scores(state, plan) -> Optional[Dict[str, np.ndarray]]:
+        if not cfg.extra_eval_methods:
+            return None
+        out = {}
+        for m in cfg.extra_eval_methods:
+            cfg_m = dataclasses.replace(sup_cfg, eval_method=m)
+            _, _, mm = run_epoch(state, staged, plan, cfg_m, train=False, score=True)
+            out[m] = mm
+        return out
+
     if cfg.pre == "validation":
         # Zero-shot: evaluate the provided (pretrained) params over everything.
         state = init_state(sup_cfg, ds[0], jax.random.PRNGKey(cfg.seed), params=init_params)
         plan = staged.plan(ds.names, cfg.batch_size)
         _, loss, metrics = run_epoch(state, staged, plan, sup_cfg, train=False, score=True)
         log.info("zero-shot: loss=%.4f F1=%.3f", loss, metrics[0])
-        return [FoldResult(0, metrics, float(metrics[0]), 0)]
+        return [FoldResult(0, metrics, float(metrics[0]), 0,
+                           extra_metrics=_extra_scores(state, plan),
+                           best_params=state.params if cfg.return_params else None)]
 
     rng = random.Random(cfg.seed)
     splits = _folds(ds.names, cfg.n_folds, rng)
@@ -154,10 +172,27 @@ def run_beat_experiment(
         test_state = state.replace(params=best_params)
         _, _, test_metrics = run_epoch(test_state, staged, test_plan, sup_cfg, train=False, score=True)
         log.info("fold %d: test F1=%.3f (best val %.3f, %d epochs)", fold, test_metrics[0], best_f1, epoch + 1)
-        results.append(FoldResult(fold, test_metrics, best_f1, epoch + 1))
+        results.append(FoldResult(fold, test_metrics, best_f1, epoch + 1,
+                                  extra_metrics=_extra_scores(test_state, test_plan),
+                                  best_params=best_params if cfg.return_params else None))
 
     summarize(results)
     return results
+
+
+def summarize_extra(results: Sequence[FoldResult]) -> Dict[str, Dict[str, float]]:
+    """Per-decoder mean/std over folds for the extra_eval_methods columns."""
+    out: Dict[str, Dict[str, float]] = {}
+    if not results or not results[0].extra_metrics:
+        return out
+    names = ["F1", "CMLc", "CMLt", "AMLc", "AMLt", "InfoGain"]
+    for m in results[0].extra_metrics:
+        arr = np.stack([r.extra_metrics[m] for r in results])
+        out[m] = {}
+        for i, n in enumerate(names):
+            out[m][n] = float(arr[:, i].mean())
+            out[m][n + "_std"] = float(arr[:, i].std())
+    return out
 
 
 def summarize(results: Sequence[FoldResult]) -> Dict[str, float]:

@@ -38,21 +38,26 @@ def run_few_shot(
         batch_size=cfg.batch_size, bucket_frames=cfg.bucket_frames, dropout_seed=cfg.seed,
         pos_weight=cfg.pos_weight,
     )
-    splitter = random.Random(split_seed)
+    # Reference split semantics (data_exp.py:47-53): ONE Random(16) shuffle
+    # of all songs, then test/val are FIXED for the whole sweep (last 1/8 and
+    # 7th 1/8); only the train POOL is re-shuffled per repeat (:78,
+    # `random.Random(16).shuffle(split)` — a fresh Random(16) applied to the
+    # pool's current in-place order, so the permutations compose across
+    # repeats). Round 2 re-drew the 3-song test set every repeat, which made
+    # test-set luck most of the curve's variance (VERDICT r2 weak #2).
     names = list(ds.names)
-    n = len(names)
-    n_test = round(n / 8)
+    random.Random(split_seed).shuffle(names)
+    cv_len = len(names) / 8
+    pool = names[0 : round(cv_len * 6)]
+    val_names = names[round(cv_len * 6) : round(cv_len * 7)]
+    test_names = names[round(cv_len * 7) :]
     staged = StagedDataset(ds.records, cfg.bucket_frames)
     results: Dict[int, Dict[str, float]] = {}
 
     for size in train_sizes:
         f1s = []
         for rep in range(repeats):
-            order = list(names)
-            splitter.shuffle(order)
-            test_names = order[:n_test]
-            val_names = order[n_test : 2 * n_test]
-            pool = order[2 * n_test :]
+            random.Random(split_seed).shuffle(pool)
             train_names = pool[:size]
 
             state = init_state(sup_cfg, ds[0], jax.random.PRNGKey(cfg.seed + rep), params=init_params)

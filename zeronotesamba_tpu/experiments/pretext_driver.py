@@ -118,8 +118,24 @@ def train_pretext(
     eval_step = make_eval_step(pcfg)
     rng = np.random.default_rng(cfg.seed)
     # Stage both banks on device once; training batches are (track, shifts)
-    # scalars and on-device slices (see make_staged_train_step).
-    bank_dev = jnp.asarray(train_bank)
+    # scalars and on-device slices (see make_staged_train_step). With a mesh
+    # the bank is SHARDED over the data axis — each device holds N/d tracks
+    # (tail-padded with duplicates so N divides evenly; those tracks are
+    # oversampled by one shard's worth per epoch, the standard dp remainder
+    # policy), which is what lets reference-scale banks (~13.8 GB f32,
+    # pretext.py:255-263) fit a 16 GB-per-chip mesh at ~1.7 GB/device.
+    n_shard = 1
+    shard_size = len(train_bank)
+    if mesh is None:
+        bank_dev = jnp.asarray(train_bank)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_shard = int(mesh.shape["data"])
+        pad = (-len(train_bank)) % n_shard
+        padded = np.concatenate([train_bank, train_bank[:pad]]) if pad else train_bank
+        shard_size = len(padded) // n_shard
+        bank_dev = jax.device_put(padded, NamedSharding(mesh, P("data")))
     val_batches = [jnp.asarray(vb) for vb in fixed_val_shifts(val_bank, pcfg, cfg.seed)]
     bank_frames = train_bank.shape[-1]
 
@@ -141,23 +157,38 @@ def train_pretext(
     from zeronotesamba_tpu.utils.profiling import trace
 
     k = max(1, int(cfg.tracks_per_step))
-    if mesh is not None and k > 1:
-        raise ValueError(
-            "tracks_per_step > 1 is a single-device demo-scale lever; the "
-            "sharded staged step shards one track's crops across the mesh "
-            "(scalar track_idx) and does not accept a track vector"
-        )
-    for epoch in range(start_epoch, cfg.num_epochs):
-        order = rng.permutation(len(train_bank))
-        if k > 1:  # pad the order so every update sees exactly k tracks
+
+    def epoch_updates() -> list:
+        """Per-epoch track order as a list of per-update index arrays.
+
+        Single device: global shuffle, scalar (k=1) or (k,) vector updates.
+        Mesh: each device shuffles ITS local shard; one update = k local
+        indices per device, laid out (d*k,) so shard_map's P('data') split
+        hands device i rows [i*k, (i+1)*k) — track-parallel dp, every track
+        seen once per epoch with no cross-device track motion.
+        """
+        if mesh is None:
+            order = rng.permutation(len(train_bank))
+            if k == 1:
+                return list(order)
             pad = (-len(order)) % k
             if pad:
                 order = np.concatenate([order, rng.choice(len(train_bank), size=pad)])
-            order = order.reshape(-1, k)
+            return list(order.reshape(-1, k))
+        perms = []
+        padk = (-shard_size) % k
+        for _ in range(n_shard):
+            p_i = rng.permutation(shard_size)
+            if padk:
+                p_i = np.concatenate([p_i, rng.choice(shard_size, size=padk)])
+            perms.append(p_i.reshape(-1, k))
+        return list(np.stack(perms, axis=1).reshape(-1, n_shard * k))
+
+    for epoch in range(start_epoch, cfg.num_epochs):
         tr_losses, tr_pos, tr_neg = [], [], []
         with trace(cfg.trace_dir if epoch == start_epoch else None):
-            for i in order:
-                if k > 1:
+            for i in epoch_updates():
+                if np.ndim(i) > 0:
                     starts = np.stack([
                         sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng) for _ in i
                     ])

@@ -61,6 +61,7 @@ class BeatTracker:
         *,
         separation: str = "hpss",
         stem_dir: Optional[str] = None,
+        sep_model: Optional[str] = None,
         decoder: Optional[str] = "dbn",
         mode: str = "vqt",
     ) -> InferenceResult:
@@ -69,7 +70,8 @@ class BeatTracker:
             from zeronotesamba_tpu.ops.resample import resample_poly_host
 
             sig = resample_poly_host(sig, sr, SAMPLE_RATE)
-        anchor, positive = separate(sig, SAMPLE_RATE, backend=separation, stem_dir=stem_dir)
+        anchor, positive = separate(sig, SAMPLE_RATE, backend=separation, stem_dir=stem_dir,
+                                    model_path=sep_model)
         params = XQTParams(sample_rate=SAMPLE_RATE, mode=mode)
         vqts = np.asarray(best_log_xqt(jnp.asarray(np.stack([anchor, positive])), params))
         anc = jnp.asarray(vqts[0])[None, :, :, None]
