@@ -214,6 +214,30 @@ def bench_supervised_train(n_iters: int = 10, warmup: int = 3, batch: int = 8, t
     return step_s * 1e3, flops / step_s / 1e12
 
 
+def bench_infer_latency(n_iters: int = 6, warmup: int = 2) -> float:
+    """End-to-end ONE-file latency (reference sample_script.py shape): one
+    10 s clip through separation-free VQT + fused twin encoders + host DBN
+    decode. Distinct clips per timed iteration (relay dedup)."""
+    import jax
+
+    from zeronotesamba_tpu.decode import decode as decode_fn
+
+    pipeline, mparams = _device_pipeline("bf16")
+    n_samp = int(CLIP_S * SR)
+    keys = jax.random.split(jax.random.PRNGKey(7), 2 * (warmup + n_iters))
+    clips = [jax.random.normal(k, (1, n_samp), dtype=np.float32) for k in keys]
+    jax.block_until_ready(clips)
+    times = []
+    for i in range(warmup + n_iters):
+        t0 = time.perf_counter()
+        out = pipeline(mparams, clips[2 * i], clips[2 * i + 1])
+        act = np.asarray(out[0])
+        decode_fn(act, "dbn", fps=62.5)
+        if i >= warmup:
+            times.append(time.perf_counter() - t0)
+    return float(np.median(times)) * 1e3
+
+
 def bench_cpu_baseline(n_clips: int = 4) -> float:
     """numpy multi-rate VQT + torch-CPU twin encoders (reference CPU path proxy)."""
     import torch
@@ -331,6 +355,7 @@ def main():
     try:  # train-step rails (VERDICT r2 missing #4): fwd+bwd throughput
         p_ms, p_tf = bench_pretext_train()
         s_ms, s_tf = bench_supervised_train()
+        out["infer_latency_ms_1clip"] = round(bench_infer_latency(), 2)
         out.update({
             "pretext_step_ms_b16": round(p_ms, 2),
             "pretext_train_tflops": round(p_tf, 2),

