@@ -31,7 +31,11 @@ early through the relay). Sanity rails printed alongside the headline:
 from __future__ import annotations
 
 import json
+import os
+import sys
+import threading
 import time
+import traceback
 
 import numpy as np
 
@@ -145,12 +149,14 @@ def bench_device(variant: str = "f32", n_iters: int = 8, warmup: int = 2) -> flo
     return audio_minutes / dt
 
 
-def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, crop: int = 313):
+def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, crop: int = 313,
+                        dtype: str = "float32"):
     """Pretext train-step throughput (SURVEY §6's 'pretext step time at batch
     16'): the staged fwd+bwd NT-Xent step on a device-resident bank.
     Dedup-proof: every timed step uses distinct (track_idx, starts) args.
     Returns (step_ms, train_tflops) with the standard fwd+bwd ~= 3x fwd
-    FLOP model over the twin encoder streams."""
+    FLOP model over the twin encoder streams. ``dtype='bfloat16'`` measures
+    the mixed-precision path (tests/test_bf16_training.py pins parity)."""
     import jax
     import jax.numpy as jnp
 
@@ -158,7 +164,7 @@ def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, cro
         PretextConfig, init_pretext_state, make_staged_train_step, sample_shifts,
     )
 
-    cfg = PretextConfig(batch_size=batch, crop_frames=crop)
+    cfg = PretextConfig(batch_size=batch, crop_frames=crop, compute_dtype=dtype)
     state = init_pretext_state(cfg, jax.random.PRNGKey(0))
     step = make_staged_train_step(cfg)
     bank_frames = 2 * crop
@@ -180,7 +186,8 @@ def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, cro
     return step_s * 1e3, flops / step_s / 1e12
 
 
-def bench_supervised_train(n_iters: int = 10, warmup: int = 3, batch: int = 8, t_frames: int = 768):
+def bench_supervised_train(n_iters: int = 10, warmup: int = 3, batch: int = 8, t_frames: int = 768,
+                           dtype: str = "float32"):
     """Supervised bucket-step throughput: donated masked-BCE train step on the
     fused twin model (train/supervised.train_step). A distinct VQT batch per
     timed step keeps the relay from dedup-serving."""
@@ -190,7 +197,7 @@ def bench_supervised_train(n_iters: int = 10, warmup: int = 3, batch: int = 8, t
     from zeronotesamba_tpu.data.datasets import SongRecord
     from zeronotesamba_tpu.train.supervised import SupervisedConfig, init_state, train_step
 
-    cfg = SupervisedConfig(status="pretrained", lr=1e-4, bucket_frames=t_frames)
+    cfg = SupervisedConfig(status="pretrained", lr=1e-4, bucket_frames=t_frames, compute_dtype=dtype)
     example = SongRecord(
         name="bench", vqt=np.zeros((2, 96, t_frames), np.float32),
         pulse=np.zeros(t_frames, np.float32), down_pulse=np.zeros(t_frames, np.float32),
@@ -319,55 +326,158 @@ def bench_cpu_baseline(n_clips: int = 4) -> float:
     return n_clips * CLIP_S / 60.0 / dt
 
 
-def main():
-    import jax
+def _init_backend(attempts: int = 3, attempt_timeout_s: float = 300.0, backoff_s: float = 90.0):
+    """Bring the JAX backend up with bounded retries (VERDICT r3 weak #1).
 
-    kind = jax.devices()[0].device_kind
+    The axon relay occasionally refuses/hangs backend init: ``jax.devices()``
+    was observed hanging >7 min, which cost the whole round-3 bench artifact
+    (BENCH_r03.json rc=1). Each attempt runs in a daemon thread so a hung init
+    can't wedge the process; on repeated failure we return None and the caller
+    emits a partial JSON line instead of dying with a traceback.
+    """
+    result: dict = {}
+
+    def attempt():
+        try:
+            import jax
+
+            result["kind"] = jax.devices()[0].device_kind
+        except Exception as e:  # noqa: BLE001 — any init failure is retryable
+            result["error"] = f"{type(e).__name__}: {e}"[:200]
+
+    execs = int(os.environ.get("ZNS_BENCH_REEXEC", "0"))
+    for i in range(attempts):
+        result.clear()
+        th = threading.Thread(target=attempt, daemon=True)
+        th.start()
+        th.join(attempt_timeout_s)
+        if result.get("kind"):
+            return result["kind"]
+        err = result.get("error", f"jax.devices() hung >{attempt_timeout_s:.0f}s")
+        print(f"[bench] backend init attempt {i + 1}/{attempts} (exec {execs + 1}) failed: {err}",
+              file=sys.stderr)
+        if th.is_alive():
+            # A wedged init thread holds process-global backend locks, so
+            # same-process retries would just block on them. Give the relay
+            # time to recover, then re-exec for a clean client state (up to
+            # attempts total execs — outages observed here last minutes).
+            if execs < attempts - 1:
+                time.sleep(backoff_s)
+                os.environ["ZNS_BENCH_REEXEC"] = str(execs + 1)
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+            break
+        if i < attempts - 1:
+            time.sleep(backoff_s)
+    return None
+
+
+def _stage(out: dict, name: str, fn, retries: int = 1, backoff_s: float = 60.0):
+    """Run one bench stage; on failure retry once, then record the error in
+    the JSON instead of raising (a partial artifact beats rc=1)."""
+    for i in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            err = f"{type(e).__name__}: {e}"[:200]
+            print(f"[bench] stage {name} attempt {i + 1} failed: {err}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
+            if i < retries:
+                time.sleep(backoff_s)
+    out[f"{name}_error"] = err
+    return None
+
+
+def main():
+    out = {
+        "metric": "vqt_encoder_throughput",
+        "value": None,
+        "unit": "audio_min/s/chip",
+        "vs_baseline": None,
+    }
+    kind = _init_backend()
+    if kind is None:
+        # CPU baseline needs no TPU backend — salvage at least that rail.
+        out["error"] = "jax backend init failed after retries"
+        cpu_tput = _stage(out, "cpu_baseline", bench_cpu_baseline)
+        if cpu_tput:
+            out["cpu_baseline_audio_min_s"] = round(cpu_tput, 3)
+        print(json.dumps(out))
+        return
+
     peak = _PEAK_TFLOPS.get(kind, 275.0)
+    out["device"] = kind
     flops_clip = pipeline_flops_per_clip()
+    out["flops_per_clip_g"] = round(flops_clip / 1e9, 1)
 
     results = {}
     for variant in ("f32", "bf16"):
-        try:
-            results[variant] = bench_device(variant)
-        except Exception as e:  # e.g. Pallas unsupported on a backend
-            results[variant] = None
-            results[f"{variant}_error"] = f"{type(e).__name__}: {e}"[:200]
-    best_variant = max((v for v in ("f32", "bf16") if results.get(v)), key=lambda v: results[v])
-    tput = results[best_variant]
-    clips_per_s = tput * 60.0 / CLIP_S
-    tflops = flops_clip * clips_per_s / 1e12
-    cpu_tput = bench_cpu_baseline()
+        results[variant] = _stage(out, variant, lambda v=variant: bench_device(v))
+    if any(results.get(v) for v in ("f32", "bf16")):
+        best_variant = max((v for v in ("f32", "bf16") if results.get(v)), key=lambda v: results[v])
+        tput = results[best_variant]
+        clips_per_s = tput * 60.0 / CLIP_S
+        tflops = flops_clip * clips_per_s / 1e12
+        out.update({
+            "value": round(tput, 3),
+            "variant": best_variant,
+            "tflops": round(tflops, 2),
+            "mfu": round(tflops / peak, 4),
+        })
+        if results.get("f32"):
+            out["f32_audio_min_s"] = round(results["f32"], 3)
+        if results.get("bf16"):
+            out["bf16_audio_min_s"] = round(results["bf16"], 3)
+    cpu_tput = _stage(out, "cpu_baseline", bench_cpu_baseline)
+    if cpu_tput:
+        out["cpu_baseline_audio_min_s"] = round(cpu_tput, 3)
+        if out["value"]:
+            out["vs_baseline"] = round(out["value"] / cpu_tput, 2)
 
-    out = {
-        "metric": "vqt_encoder_throughput",
-        "value": round(tput, 3),
-        "unit": "audio_min/s/chip",
-        "vs_baseline": round(tput / cpu_tput, 2),
-        "variant": best_variant,
-        "f32_audio_min_s": round(results["f32"], 3) if results.get("f32") else results.get("f32_error"),
-        "bf16_audio_min_s": round(results["bf16"], 3) if results.get("bf16") else results.get("bf16_error"),
-        "tflops": round(tflops, 2),
-        "mfu": round(tflops / peak, 4),
-        "device": kind,
-        "flops_per_clip_g": round(flops_clip / 1e9, 1),
-    }
-    try:  # train-step rails (VERDICT r2 missing #4): fwd+bwd throughput
-        p_ms, p_tf = bench_pretext_train()
-        s_ms, s_tf = bench_supervised_train()
-        out["infer_latency_ms_1clip"] = round(bench_infer_latency(), 2)
+    # Train-step rails (VERDICT r2 missing #4): fwd+bwd throughput, f32 and
+    # the mixed-precision bf16 path (VERDICT r3 next #3). Each rail is
+    # independent so one failure can't erase the others.
+    p = _stage(out, "pretext_train", bench_pretext_train)
+    if p:
+        p_ms, p_tf = p
         out.update({
             "pretext_step_ms_b16": round(p_ms, 2),
             "pretext_train_tflops": round(p_tf, 2),
             "pretext_train_mfu": round(p_tf / peak, 4),
+        })
+    pb = _stage(out, "pretext_train_bf16", lambda: bench_pretext_train(dtype="bfloat16"))
+    if pb:
+        pb_ms, pb_tf = pb
+        out.update({
+            "pretext_step_ms_b16_bf16": round(pb_ms, 2),
+            "pretext_train_mfu_bf16": round(pb_tf / peak, 4),
+        })
+    s = _stage(out, "supervised_train", bench_supervised_train)
+    if s:
+        s_ms, s_tf = s
+        out.update({
             "supervised_step_ms_b8x768": round(s_ms, 2),
             "supervised_train_tflops": round(s_tf, 2),
             "supervised_train_mfu": round(s_tf / peak, 4),
         })
-    except Exception as e:
-        out["train_bench_error"] = f"{type(e).__name__}: {e}"[:200]
+    sb = _stage(out, "supervised_train_bf16", lambda: bench_supervised_train(dtype="bfloat16"))
+    if sb:
+        sb_ms, sb_tf = sb
+        out.update({
+            "supervised_step_ms_b8x768_bf16": round(sb_ms, 2),
+            "supervised_train_mfu_bf16": round(sb_tf / peak, 4),
+        })
+    lat = _stage(out, "infer_latency", bench_infer_latency)
+    if lat:
+        out["infer_latency_ms_1clip"] = round(lat, 2)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the driver must always get a JSON line
+        print(json.dumps({
+            "metric": "vqt_encoder_throughput", "value": None,
+            "unit": "audio_min/s/chip", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }))
