@@ -52,6 +52,8 @@ class BeatExperimentConfig:
     # with these decoders (the reference publishes dbn vs threshold vs
     # librosa-DP columns side by side, unsupervised.xlsx/beat_tracking.xlsx)
     return_params: bool = False  # keep each fold's best params on the result
+    compute_dtype: str = "float32"  # float32 | bfloat16 mixed-precision convs
+    # (train/supervised.SupervisedConfig.compute_dtype)
 
 
 @dataclasses.dataclass
@@ -90,6 +92,7 @@ def run_beat_experiment(
         bucket_frames=cfg.bucket_frames,
         dropout_seed=cfg.seed,
         pos_weight=cfg.pos_weight,
+        compute_dtype=cfg.compute_dtype,
     )
 
     staged = StagedDataset(ds.records, cfg.bucket_frames)  # device-resident, once

@@ -36,7 +36,7 @@ def run_few_shot(
     sup_cfg = SupervisedConfig(
         status=cfg.status, pre=cfg.pre, lr=cfg.lr, eval_method=cfg.eval_method,
         batch_size=cfg.batch_size, bucket_frames=cfg.bucket_frames, dropout_seed=cfg.seed,
-        pos_weight=cfg.pos_weight,
+        pos_weight=cfg.pos_weight, compute_dtype=cfg.compute_dtype,
     )
     # Reference split semantics (data_exp.py:47-53): ONE Random(16) shuffle
     # of all songs, then test/val are FIXED for the whole sweep (last 1/8 and

@@ -38,14 +38,31 @@ class PretextConfig:
     dropout_seed: int = 0
     dropout_rate: float = 0.1
     lr: float = None  # None = reference rules (train/state.pretext_optimizer)
+    # Mixed precision (VERDICT r3 next #3): convs run in this dtype on the
+    # MXU while params, optimizer state, embeddings, and the NT-Xent itself
+    # stay float32 (the encoder casts its output back — models/encoder.py).
+    # "bfloat16" roughly halves the train-step time; loss-trajectory parity
+    # vs float32 is pinned by tests/test_bf16_training.py.
+    compute_dtype: str = "float32"  # float32 | bfloat16
 
 
-def make_pretext_model(task: str, dropout_rate: float = 0.1):
-    return TwinPretext(dropout_rate) if task == "zerons" else DSCNN(dropout_rate)
+def resolve_dtype(name) -> jnp.dtype:
+    """'float32'/'bfloat16' (or an actual dtype) -> jnp dtype."""
+    if not isinstance(name, str):
+        return name
+    try:
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "f32": jnp.float32, "bf16": jnp.bfloat16}[name]
+    except KeyError:
+        raise ValueError(f"unknown compute_dtype {name!r} (float32|bfloat16)") from None
+
+
+def make_pretext_model(task: str, dropout_rate: float = 0.1, compute_dtype="float32"):
+    dt = resolve_dtype(compute_dtype)
+    return TwinPretext(dropout_rate, dt) if task == "zerons" else DSCNN(dropout_rate, dt)
 
 
 def init_pretext_state(cfg: PretextConfig, rng: jax.Array) -> TrainState:
-    model = make_pretext_model(cfg.task, cfg.dropout_rate)
+    model = make_pretext_model(cfg.task, cfg.dropout_rate, cfg.compute_dtype)
     x = jnp.zeros((1, 96, cfg.crop_frames, 1))
     # jit(init): eager init dispatches each conv as its own TPU program
     # (~100s through the axon relay); one jitted program is seconds.
@@ -177,7 +194,12 @@ def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
     grad/loss pmean. The mesh step with d*k tracks is numerically the
     single-device k'=d*k accumulation step over the same tracks
     (tests/test_pretext_track_parallel.py), which makes multi-track
-    accumulation and the mesh path the same thing."""
+    accumulation and the mesh path the same thing. Caveat (ADVICE r3): the
+    equality is exact at dropout 0 (what the test and dryrun use); with
+    dropout enabled the mesh path folds the device-axis index into each
+    shard's dropout key while the single-device path draws one key over the
+    flattened k*B batch, so the two draw different masks (same distribution,
+    different samples)."""
 
     def crops_from(bank, track_idx, starts):
         item = jax.lax.dynamic_index_in_dim(bank, track_idx, 0, keepdims=False)  # (2,96,T)

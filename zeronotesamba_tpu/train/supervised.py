@@ -45,22 +45,27 @@ class SupervisedConfig:
     pos_weight: float = 1.0  # positive-class BCE weight; 1.0 = reference
     # parity (plain BCELoss, loader.py:16), ~1/positive-rate removes the
     # all-zeros plateau attractor (losses/bce.py rationale)
+    compute_dtype: str = "float32"  # float32 | bfloat16 — convs on the MXU in
+    # this dtype, params/loss stay f32 (see PretextConfig.compute_dtype)
 
 
-def make_model(status: str):
+def make_model(status: str, compute_dtype="float32"):
+    from zeronotesamba_tpu.train.pretext import resolve_dtype
+
+    dt = resolve_dtype(compute_dtype)
     if status == "pretrained":
-        return FusedDownstream()
+        return FusedDownstream(compute_dtype=dt)
     if status == "bock":
         # Böck-style TCN comparison baseline (replaces the reference's madmom
         # RNNBeatProcessor mode, measures.py:270-277).
         from zeronotesamba_tpu.models.baseline import BockTCN
 
-        return BockTCN()
-    return DSCNN()
+        return BockTCN(compute_dtype=dt)
+    return DSCNN(compute_dtype=dt)
 
 
 def init_state(cfg: SupervisedConfig, example: SongRecord, rng: jax.Array, params=None) -> TrainState:
-    model = make_model(cfg.status)
+    model = make_model(cfg.status, cfg.compute_dtype)
     t = _round_up(example.n_frames, cfg.bucket_frames)
     x = jnp.zeros((1, 96, t, 1))
     if params is None:
