@@ -52,6 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--folds", type=int, default=8)
     t.add_argument("--params", default=None, help="pretrained params checkpoint")
     t.add_argument("--out", default=None, help="write results JSON here")
+    t.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="conv compute dtype (bfloat16 = MXU mixed precision)")
     _add_common(t)
 
     c = sub.add_parser("cross", help="cross-dataset experiment")
@@ -90,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--batch-size", type=int, default=16)
     pt.add_argument("--checkpoint", default="models/shift_pret_cnn_16", help="best-val params path")
     pt.add_argument("--data-parallel", action="store_true", help="shard batches over all devices")
+    pt.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="conv compute dtype (bfloat16 = MXU mixed precision)")
+    pt.add_argument("--selection", default="val_loss", choices=["val_loss", "proxy_f1"],
+                    help="checkpoint selection: NT-Xent val loss (reference parity) "
+                         "or zero-shot beat F1 on a labeled proxy set")
+    pt.add_argument("--proxy-data", default=None,
+                    help="npz dataset cache for --selection proxy_f1")
     _add_common(pt)
 
     ts = sub.add_parser("train-separator", help="train the learned drum/rest mask separator")
@@ -176,7 +185,7 @@ def main(argv=None):
         cfg = BeatExperimentConfig(
             status=args.status, pre=args.pre, lr=args.lr, eval_method=args.eval,
             n_folds=args.folds, max_epochs=args.max_epochs, patience=args.patience,
-            batch_size=args.batch_size, seed=args.seed,
+            batch_size=args.batch_size, seed=args.seed, compute_dtype=args.dtype,
         )
         params = _load_params(args.params)
         results = run_beat_experiment(ds, cfg, init_params=params)
@@ -230,8 +239,15 @@ def main(argv=None):
             from zeronotesamba_tpu.parallel.mesh import make_mesh
 
             mesh = make_mesh(time=1)
+        proxy_ds = None
+        if args.proxy_data:
+            from zeronotesamba_tpu.data.datasets import BeatDataset
+
+            proxy_ds = BeatDataset.load(args.proxy_data)
         cfg = PretextRunConfig(task=args.task, num_epochs=args.epochs, batch_size=args.batch_size,
-                               seed=args.seed, checkpoint_path=args.checkpoint)
+                               seed=args.seed, checkpoint_path=args.checkpoint,
+                               compute_dtype=args.dtype, selection=args.selection,
+                               proxy_dataset=proxy_ds)
         train_pretext(train_bank, val_bank, cfg, mesh=mesh)
 
     elif args.cmd == "train-separator":

@@ -38,12 +38,29 @@ class PretextRunConfig:
     crop_frames: int = 313
     temperature: float = 0.25
     lr: float = None  # None = reference rules (train/state.pretext_optimizer)
+    compute_dtype: str = "float32"  # float32 | bfloat16 mixed-precision convs
+    # (train/pretext.PretextConfig.compute_dtype)
     tracks_per_step: int = 1  # >1 = accumulate k per-track NT-Xent batches
     # into one update (same per-track loss semantics; sqrt(k) less gradient
     # noise — the demo-scale plateau-escape lever, see make_staged_train_step)
     seed: int = 0
     checkpoint_path: Optional[str] = None  # best-val params (reference
     # models/shift_pret_cnn_16.pth equivalent)
+    # Checkpoint SELECTION (VERDICT r3 next #4). The reference selects on
+    # NT-Xent validation loss (pretext.py:408-412), but on the demo corpora
+    # zero-shot beat F1 is NON-MONOTONE in val loss (60 ep -> F1 0.73;
+    # 150 ep -> better val loss but F1 0.35 — the pulse decays into shortcut
+    # features). "proxy_f1" is the designed improvement: select on zero-shot
+    # beat F1 over a small labeled proxy set, evaluated every
+    # ``proxy_every`` epochs. Both candidates are checkpointed when
+    # checkpoint_path is set (selected -> checkpoint_path, the other ->
+    # checkpoint_path + "_valsel"/"_proxysel") so selections can be compared
+    # from one training run (tools/run_selection_compare.py).
+    selection: str = "val_loss"  # val_loss (reference parity) | proxy_f1
+    proxy_dataset: Optional[object] = None  # BeatDataset; required for
+    # proxy_f1 and optional (monitoring-only) under val_loss
+    proxy_every: int = 5
+    proxy_eval_method: str = "dbn"
     resume_dir: Optional[str] = None  # full-TrainState checkpoints: training
     # resumes mid-run with optimizer state (the reference can only save,
     # never resume — SURVEY §5)
@@ -93,6 +110,22 @@ def build_bank_from_stem_root(
     return np.stack(bank).astype(np.float32)
 
 
+def zero_shot_proxy_f1(ds, pretext_params, *, batch_size: int = 8, eval_method: str = "dbn") -> float:
+    """Zero-shot beat F1 of a (twin) pretext checkpoint over a labeled set —
+    the beat-proxy selection metric (experiments/beat.py pre='validation'
+    semantics, same as the demo grid's zero-shot arm)."""
+    from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig, run_beat_experiment
+
+    fused = {"params": {"pretext": pretext_params["params"]}}
+    res = run_beat_experiment(
+        ds,
+        BeatExperimentConfig(status="pretrained", pre="validation",
+                             eval_method=eval_method, batch_size=batch_size),
+        init_params=fused, progress=False,
+    )
+    return float(res[0].test_metrics[0])
+
+
 def fixed_val_shifts(val_bank: np.ndarray, cfg: PretextConfig, seed: int) -> np.ndarray:
     """Pre-crop validation batches once (reference pretext.py:284-292)."""
     rng = np.random.default_rng(seed)
@@ -109,9 +142,16 @@ def train_pretext(
     """Train; returns (best_params, history dict)."""
     import jax.numpy as jnp
 
+    if cfg.selection not in ("val_loss", "proxy_f1"):
+        raise ValueError(f"unknown selection {cfg.selection!r} (val_loss|proxy_f1)")
+    if cfg.selection == "proxy_f1" and cfg.proxy_dataset is None:
+        raise ValueError("selection='proxy_f1' requires proxy_dataset")
+    if cfg.selection == "proxy_f1" and cfg.task != "zerons":
+        raise ValueError("proxy_f1 selection needs the twin 'zerons' pretext")
+
     pcfg = PretextConfig(
         task=cfg.task, batch_size=cfg.batch_size, crop_frames=cfg.crop_frames,
-        temperature=cfg.temperature, lr=cfg.lr,
+        temperature=cfg.temperature, lr=cfg.lr, compute_dtype=cfg.compute_dtype,
     )
     state = init_pretext_state(pcfg, jax.random.PRNGKey(cfg.seed))
     step = make_staged_train_step(pcfg, mesh=mesh)
@@ -133,7 +173,13 @@ def train_pretext(
 
         n_shard = int(mesh.shape["data"])
         pad = (-len(train_bank)) % n_shard
-        padded = np.concatenate([train_bank, train_bank[:pad]]) if pad else train_bank
+        if pad:
+            # Tile modularly rather than train_bank[:pad] — a bank smaller
+            # than half the data axis needs pad > len(bank) rows (ADVICE r3).
+            reps = np.take(train_bank, np.arange(pad) % len(train_bank), axis=0)
+            padded = np.concatenate([train_bank, reps])
+        else:
+            padded = train_bank
         shard_size = len(padded) // n_shard
         bank_dev = jax.device_put(padded, NamedSharding(mesh, P("data")))
     val_batches = [jnp.asarray(vb) for vb in fixed_val_shifts(val_bank, pcfg, cfg.seed)]
@@ -141,7 +187,11 @@ def train_pretext(
 
     best_val = np.inf
     best_params = state.params
+    best_proxy = -np.inf
+    best_proxy_params = state.params
     hist = {"train_loss": [], "val_loss": [], "train_pos": [], "train_neg": [], "val_pos": [], "val_neg": []}
+    if cfg.proxy_dataset is not None:
+        hist["proxy_epoch"], hist["proxy_f1"] = [], []
     key = jax.random.PRNGKey(cfg.seed + 1)
     start_epoch = 0
     mgr = None
@@ -213,7 +263,22 @@ def train_pretext(
             best_val = va
             best_params = jax.tree.map(lambda x: x.copy(), state.params)
             if cfg.checkpoint_path:
-                save_params(cfg.checkpoint_path, best_params)
+                path = cfg.checkpoint_path if cfg.selection == "val_loss" else cfg.checkpoint_path + "_valsel"
+                save_params(path, best_params)
+        if cfg.proxy_dataset is not None and (
+            (epoch + 1) % cfg.proxy_every == 0 or epoch == cfg.num_epochs - 1
+        ):
+            pf1 = zero_shot_proxy_f1(cfg.proxy_dataset, state.params,
+                                     eval_method=cfg.proxy_eval_method)
+            hist["proxy_epoch"].append(epoch)
+            hist["proxy_f1"].append(pf1)
+            log.info("epoch %d: proxy zero-shot F1=%.3f (best %.3f)", epoch, pf1, max(best_proxy, pf1))
+            if pf1 > best_proxy:
+                best_proxy = pf1
+                best_proxy_params = jax.tree.map(lambda x: x.copy(), state.params)
+                if cfg.checkpoint_path:
+                    path = cfg.checkpoint_path if cfg.selection == "proxy_f1" else cfg.checkpoint_path + "_proxysel"
+                    save_params(path, best_proxy_params)
         if mgr is not None:
             mgr.save(epoch, state, metrics={"val_loss": va})
         if cfg.figures_path and (epoch + 1) % cfg.figures_every == 0:
@@ -222,4 +287,6 @@ def train_pretext(
             plot_history(hist, cfg.figures_path)
     if mgr is not None:
         mgr.close()
+    if cfg.selection == "proxy_f1":
+        return best_proxy_params, hist
     return best_params, hist
