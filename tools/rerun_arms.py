@@ -87,7 +87,9 @@ def main():
         res = run_beat_experiment(ds, acfg, progress=False, **kw)
         key = "bock_tcn" if status == "bock" else status
         summary["supervised"][key] = metrics_dict(summarize(res))
-        summary["supervised"].setdefault("by_decoder", {})[key if key != "bock_tcn" else "bock"] = {
+        # Same key for main metrics and decoder columns (ADVICE r3: 'bock'
+        # vs 'bock_tcn' split the arm across two names for readers).
+        summary["supervised"].setdefault("by_decoder", {})[key] = {
             m: metrics_dict(t) for m, t in summarize_extra(res).items()
         }
         summary["supervised"].setdefault("arm_overrides", {})[key] = {

@@ -40,6 +40,22 @@ def load_stem_dir(track_dir: str, target_sr: int = 16000) -> Dict[str, np.ndarra
     return {k: v[:n] for k, v in stems.items()}
 
 
+_LEARNED_PARAMS_CACHE: Dict[str, object] = {}
+
+
+def _learned_params(model_path: str):
+    """Memoized orbax restore keyed by path: track-dir sweeps call
+    ``separate`` once per file, and a per-call restore + re-trace costs more
+    than the separation itself (ADVICE r3). The jitted MaskNet.apply is
+    cached by JAX's own jit cache once the params object is stable."""
+    key = os.path.abspath(model_path)
+    if key not in _LEARNED_PARAMS_CACHE:
+        from zeronotesamba_tpu.train.checkpoint import load_params
+
+        _LEARNED_PARAMS_CACHE[key] = load_params(key)
+    return _LEARNED_PARAMS_CACHE[key]
+
+
 def separate(
     signal: np.ndarray,
     sr: int,
@@ -61,10 +77,9 @@ def separate(
     if backend == "learned":
         if model_path is None:
             raise ValueError("backend='learned' requires model_path (train via `train-separator`)")
-        from zeronotesamba_tpu.train.checkpoint import load_params
         from zeronotesamba_tpu.train.separator import separate_learned
 
-        drums, rest = separate_learned(signal, load_params(model_path))
+        drums, rest = separate_learned(signal, _learned_params(model_path))
         return rest, drums  # (anchor=rest-of-signal, positive=drums)
     if backend == "mix":
         sig = np.asarray(signal, dtype=np.float32)

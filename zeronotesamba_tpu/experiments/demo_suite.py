@@ -292,7 +292,17 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
         "by_decoder": {
             "vanilla": {m: _metrics_dict(t) for m, t in summarize_extra(res_van).items()},
             "pretrained": {m: _metrics_dict(t) for m, t in summarize_extra(res_pre).items()},
+            "bock_tcn": {m: _metrics_dict(t) for m, t in summarize_extra(res_bock).items()},
         },
+        # Loud in the artifact, not just PARITY.md (VERDICT r3 missing #4):
+        # this column is NOT the published madmom model.
+        "bock_tcn_note": (
+            "Böck-STYLE TCN trained here on this corpus — a capability "
+            "stand-in for madmom's pretrained RNNBeatProcessor "
+            "(reference measures.py:270-277), whose published weights are "
+            "not available in this environment; the column measures the "
+            "architecture class, not the published checkpoint."
+        ),
     }
 
     # 4. Cross-dataset: train corpus A -> test corpus B (different click

@@ -116,11 +116,17 @@ def eval_si_sdr(state: TrainState, mix: jnp.ndarray, drums_ref: jnp.ndarray, res
     return jnp.mean(si_sdr(drums, drums_ref)), jnp.mean(si_sdr(rest, rest_ref))
 
 
+# One module-level jitted apply: a per-call ``jax.jit(MaskNet().apply)``
+# builds a fresh wrapper each time, re-tracing for every file in a track-dir
+# sweep (ADVICE r3). MaskNet is stateless config, so one instance serves all.
+_mask_apply = jax.jit(MaskNet().apply)
+
+
 def separate_learned(signal: np.ndarray, params, batch_frames: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
     """Full-length host API: mono waveform -> (drums, rest) via the mask net."""
     y = np.asarray(signal, dtype=np.float32)[None, :]
     spec, logmag = _features(jnp.asarray(y))
-    masks = jax.jit(MaskNet().apply)(params, logmag)
+    masks = _mask_apply(params, logmag)
     drums, rest = apply_masks(spec, masks, y.shape[-1])
     return np.asarray(drums[0]), np.asarray(rest[0])
 
