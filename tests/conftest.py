@@ -4,8 +4,14 @@ Must set env vars before the first `import jax` anywhere in the test session.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/zns_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from zeronotesamba_tpu.utils.hostcache import cpu_cache_dir  # noqa: E402
+
+# Host-keyed CPU cache dir: a cache written by a different-featured host
+# AOT-rejects every entry and forces full recompiles (utils/hostcache.py).
+os.environ["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
