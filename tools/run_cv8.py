@@ -5,7 +5,12 @@ Regenerates results/synthetic/supervised_cv8.json on the current demo corpus
 demo suite's 120-epoch pretext checkpoint (results/synthetic/pretext_ckpt)
 for the pretrained init so the pretext stage is not retrained.
 
-Usage: python tools/run_cv8.py [--out results/synthetic/supervised_cv8.json]
+Multi-seed (VERDICT r3 next #2): ``--seed`` takes one or more EXPERIMENT
+seeds (fold assignment + dropout/init streams); the corpus stays fixed, so
+seed-to-seed spread isolates experiment noise from data noise. The artifact
+records per-seed summaries plus a pooled mean+-std over all seeds' folds.
+
+Usage: python tools/run_cv8.py [--seed 11 17 23] [--out results/...json]
 """
 
 from __future__ import annotations
@@ -26,6 +31,8 @@ def main():
     ap.add_argument("--ckpt", default="results/synthetic/pretext_ckpt")
     ap.add_argument("--folds", type=int, default=8)
     ap.add_argument("--difficulty", type=float, default=1.0)
+    ap.add_argument("--seed", type=int, nargs="+", default=None,
+                    help="experiment seed(s); corpus stays fixed (default: demo-suite seed)")
     args = ap.parse_args()
 
     from zeronotesamba_tpu.experiments.beat import (
@@ -43,22 +50,45 @@ def main():
     best_params = load_params(args.ckpt)
     fused_params = {"params": {"pretext": best_params["params"]}}
 
-    bcfg = BeatExperimentConfig(
-        status="vanilla", lr=2e-4, eval_method="dbn", n_folds=args.folds,
-        max_epochs=cfg.max_epochs, patience=cfg.patience,
-        batch_size=cfg.batch_size, pos_weight=cfg.pos_weight, seed=cfg.seed,
-    )
-    res_van = run_beat_experiment(mix_a, bcfg, progress=False)
-    # lr 6e-3 (eff 3e-4 under the 0.05x rule): the demo-scale pretrained
-    # init needs a warmer fine-tune than the reference's (see
-    # summary.json supervised.arm_overrides; 2e-3 leaves folds at the
-    # zero-shot solution on the hardened corpus).
-    pcfg = dataclasses.replace(bcfg, status="pretrained", lr=6e-3)
-    res_pre = run_beat_experiment(split_a, pcfg, init_params=fused_params, progress=False)
+    seeds = args.seed if args.seed else [cfg.seed]
+    per_seed = {}
+    fold_f1 = {"vanilla": [], "pretrained": []}
+    for seed in seeds:
+        bcfg = BeatExperimentConfig(
+            status="vanilla", lr=2e-4, eval_method="dbn", n_folds=args.folds,
+            max_epochs=cfg.max_epochs, patience=cfg.patience,
+            batch_size=cfg.batch_size, pos_weight=cfg.pos_weight, seed=seed,
+        )
+        res_van = run_beat_experiment(mix_a, bcfg, progress=False)
+        # lr 6e-3 (eff 3e-4 under the 0.05x rule): the demo-scale pretrained
+        # init needs a warmer fine-tune than the reference's (see
+        # summary.json supervised.arm_overrides; 2e-3 leaves folds at the
+        # zero-shot solution on the hardened corpus).
+        pcfg = dataclasses.replace(bcfg, status="pretrained", lr=6e-3)
+        res_pre = run_beat_experiment(split_a, pcfg, init_params=fused_params, progress=False)
+        per_seed[str(seed)] = {
+            "vanilla": {k: round(v, 4) for k, v in summarize(res_van).items()},
+            "pretrained": {k: round(v, 4) for k, v in summarize(res_pre).items()},
+        }
+        fold_f1["vanilla"].extend(float(r.test_metrics[0]) for r in res_van)
+        fold_f1["pretrained"].extend(float(r.test_metrics[0]) for r in res_pre)
+        print(json.dumps({"seed": seed, **per_seed[str(seed)]}), flush=True)
 
+    pooled = {
+        arm: {
+            "F1": round(float(np.mean(v)), 4),
+            "F1_std": round(float(np.std(v)), 4),
+            "n": len(v),
+        }
+        for arm, v in fold_f1.items()
+    }
     out = {
-        "vanilla": {k: round(v, 4) for k, v in summarize(res_van).items()},
-        "pretrained": {k: round(v, 4) for k, v in summarize(res_pre).items()},
+        "seeds": seeds,
+        "per_seed": per_seed,
+        "pooled": pooled,
+        # Back-compat top-level arms = first seed (the historical layout).
+        "vanilla": per_seed[str(seeds[0])]["vanilla"],
+        "pretrained": per_seed[str(seeds[0])]["pretrained"],
         "n_folds": args.folds,
         "difficulty": args.difficulty,
     }

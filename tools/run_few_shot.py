@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--max-epochs", type=int, default=300)
     ap.add_argument("--patience", type=int, default=20)
     ap.add_argument("--difficulty", type=float, default=1.0)
+    ap.add_argument("--n-songs", type=int, default=None, help=(
+        "eval corpus size (default: demo n_songs=24 -> pool 18, max size 16). "
+        "Sizes beyond 16 need a larger corpus; up to 48 the seed stream stays "
+        "a prefix of the 48-song pretext bank, so every eval song remains in "
+        "the (unlabeled) bank — the demo's transductive-SSL design holds."))
     args = ap.parse_args()
 
     from zeronotesamba_tpu.experiments.beat import BeatExperimentConfig
@@ -39,7 +44,11 @@ def main():
     from zeronotesamba_tpu.train.checkpoint import load_params
 
     cfg = DemoSuiteConfig()
-    split_a, mix_a, _ = _build_corpus(cfg.n_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
+    n_songs = args.n_songs or cfg.n_songs
+    if n_songs > cfg.pretext_songs:
+        raise SystemExit(f"--n-songs {n_songs} > pretext bank {cfg.pretext_songs}: "
+                         "eval songs would leave the transductive bank")
+    split_a, mix_a, _ = _build_corpus(n_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
                                       freq_lo=700.0, freq_hi=2800.0, seed=cfg.seed + 1,
                                       difficulty=args.difficulty)
     fused = {"params": {"pretext": load_params(args.ckpt)["params"]}}
@@ -58,6 +67,7 @@ def main():
         "pretrained": {str(k): v for k, v in res_pre.items()},
         "max_epochs": args.max_epochs,
         "repeats": args.repeats,
+        "n_songs": n_songs,
     }
     with open(os.path.join(args.out_dir, "few_shot_comparison.json"), "w") as fh:
         json.dump(payload, fh, indent=2)

@@ -1,0 +1,102 @@
+"""Second-seed check of the headline grid arms (VERDICT r3 next #8).
+
+Re-runs the seed-sensitive headline arms — pretext pretraining (fresh bank),
+zero-shot (pretrained vs random vs old-school) and cross-dataset (A->B +
+B->B control) — at a different corpus/experiment seed, writing
+results/synthetic/summary_seed{N}.json. The full demo grid takes hours; these
+are the arms whose numbers the README quotes (0.751/0.836 zero-shot, 0.948
+cross), so one extra seed here shows they are not a seed artifact.
+
+Usage: python tools/run_seed_grid.py --seed 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--out-dir", default="results/synthetic")
+    ap.add_argument("--difficulty", type=float, default=1.0)
+    args = ap.parse_args()
+
+    from zeronotesamba_tpu.decode.ellis import beat_track_signal
+    from zeronotesamba_tpu.experiments.beat import (
+        BeatExperimentConfig, run_beat_experiment, summarize,
+    )
+    from zeronotesamba_tpu.experiments.cross import run_cross_experiment
+    from zeronotesamba_tpu.experiments.demo_suite import DemoSuiteConfig, _build_corpus, _metrics_dict
+    from zeronotesamba_tpu.experiments.pretext_driver import PretextRunConfig, train_pretext
+    from zeronotesamba_tpu.metrics.beat import evaluate_beats
+
+    cfg = dataclasses.replace(DemoSuiteConfig(), seed=args.seed, difficulty=args.difficulty)
+    results = {"seed": args.seed}
+
+    split_a, mix_a, wavs_a = _build_corpus(cfg.n_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
+                                           freq_lo=700.0, freq_hi=2800.0, seed=cfg.seed + 1,
+                                           difficulty=cfg.difficulty)
+    split_b, mix_b, _ = _build_corpus(cfg.n_songs_b, cfg.duration_s, bpm_lo=60, bpm_hi=140,
+                                      freq_lo=550.0, freq_hi=1050.0, seed=cfg.seed + 2,
+                                      difficulty=cfg.difficulty)
+
+    # Pretext on the transductive bank (demo_suite stage 1 semantics).
+    split_u, _, _ = _build_corpus(cfg.pretext_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
+                                  freq_lo=700.0, freq_hi=2800.0, seed=cfg.seed + 1,
+                                  difficulty=cfg.difficulty)
+    bank = np.stack([r.vqt for r in split_u]).astype(np.float32)
+    n_val = max(2, len(bank) // 8)
+    pre_cfg = PretextRunConfig(task="zerons", num_epochs=cfg.pretext_epochs, batch_size=16,
+                               seed=cfg.seed, lr=cfg.pretext_lr, tracks_per_step=cfg.pretext_accum,
+                               checkpoint_path=os.path.join(cfg.out_dir, f"pretext_ckpt_seed{args.seed}"))
+    best_params, hist = train_pretext(bank[n_val:], bank[:n_val], pre_cfg)
+    fused_params = {"params": {"pretext": best_params["params"]}}
+    results["pretext"] = {"val_loss_best": round(min(hist["val_loss"]), 4)}
+
+    # Zero-shot arms (demo_suite stage 2).
+    zcfg = BeatExperimentConfig(status="pretrained", pre="validation", eval_method="dbn",
+                                batch_size=cfg.batch_size, seed=cfg.seed,
+                                extra_eval_methods=("librosa", "threshold"))
+    zs_pre = run_beat_experiment(split_a, zcfg, init_params=fused_params, progress=False)
+    zs_rand = run_beat_experiment(split_a, zcfg, init_params=None, progress=False)
+    old_school = np.stack([
+        evaluate_beats(rec.beat_times, beat_track_signal(wav))
+        for rec, wav in zip(mix_a.records, wavs_a)
+    ])
+    results["unsupervised"] = {
+        "zerons_dbn_f1": round(float(zs_pre[0].test_metrics[0]), 4),
+        "zerons_librosa_f1": round(float(zs_pre[0].extra_metrics["librosa"][0]), 4),
+        "zerons_threshold_f1": round(float(zs_pre[0].extra_metrics["threshold"][0]), 4),
+        "random_dbn_f1": round(float(zs_rand[0].test_metrics[0]), 4),
+        "old_school_f1": round(float(old_school[:, 0].mean()), 4),
+    }
+
+    # Cross-dataset arms (demo_suite stage 4).
+    bcfg = BeatExperimentConfig(status="vanilla", lr=2e-4, eval_method="dbn", n_folds=cfg.folds,
+                                max_epochs=cfg.max_epochs, patience=cfg.patience,
+                                batch_size=cfg.batch_size, pos_weight=cfg.pos_weight, seed=cfg.seed)
+    ccfg = dataclasses.replace(bcfg, n_folds=2, max_epochs=max(150, cfg.max_epochs))
+    res_cross = run_cross_experiment(mix_a, mix_b, ccfg)
+    res_b_ctrl = run_beat_experiment(mix_b, ccfg, progress=False)
+    results["cross_data"] = {
+        "a_to_b": _metrics_dict(summarize(res_cross)),
+        "b_in_domain": _metrics_dict(summarize(res_b_ctrl)),
+    }
+
+    out_path = os.path.join(cfg.out_dir, f"summary_seed{args.seed}.json")
+    with open(out_path, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
