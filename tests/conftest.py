@@ -7,7 +7,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from zeronotesamba_tpu.utils.hostcache import cpu_cache_dir  # noqa: E402
+from zeronotesamba_tpu.utils.hostcache import cpu_cache_dir, with_aot_safe_flag  # noqa: E402
 
 # Host-keyed CPU cache dir: a cache written by a different-featured host
 # AOT-rejects every entry and forces full recompiles (utils/hostcache.py).
@@ -15,7 +15,9 @@ os.environ["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir()
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# AVX2 cap: same-host AOT cache reuse is broken above AVX2 (hostcache.py).
+os.environ["XLA_FLAGS"] = with_aot_safe_flag(flags)
 
 # The harness presets JAX_PLATFORMS=axon (tunneled TPU) and its sitecustomize
 # imports jax at interpreter startup, so env vars are read before conftest

@@ -36,3 +36,22 @@ def host_cpu_fingerprint() -> str:
 def cpu_cache_dir(base: str = "/tmp/zns_jax_cache") -> str:
     """Cache directory for CPU-platform runs, keyed by host CPU features."""
     return f"{base}_cpu_{host_cpu_fingerprint()}"
+
+
+# Above AVX2, XLA:CPU compiles with synthetic LLVM tuning features
+# (+prefer-no-scatter/+prefer-no-gather) that host feature DETECTION never
+# reports, so cpu_aot_loader rejects even SAME-host cache entries ("Target
+# machine feature +prefer-no-scatter is not supported on the host machine")
+# and every program recompiles. Measured on this host: 2nd process sees 6
+# rejections at default/AVX512, zero at AVX2. CPU-mesh runs are
+# compile-bound, not execute-bound, so capping test/dryrun codegen at AVX2
+# in exchange for a working persistent cache is a clear win. TPU codegen is
+# unaffected (flag is CPU-only).
+AOT_SAFE_CPU_FLAG = "--xla_cpu_max_isa=AVX2"
+
+
+def with_aot_safe_flag(xla_flags: str) -> str:
+    """Append AOT_SAFE_CPU_FLAG to an XLA_FLAGS string (idempotent)."""
+    if "xla_cpu_max_isa" in xla_flags:
+        return xla_flags
+    return (xla_flags + " " + AOT_SAFE_CPU_FLAG).strip()
