@@ -2,12 +2,15 @@
 # Round-4 TPU experiment queue (VERDICT r3 items, serialized).
 #
 # Waits for the axon relay to recover, then runs, in priority order:
-#   1. bench.py                      -> /tmp/r4q_bench.log   (VERDICT #1)
-#   2. run_cv8 --seed 17 23          -> /tmp/r4q_cv8.log     (VERDICT #2)
-#   3. run_selection_compare         -> /tmp/r4q_sel.log     (VERDICT #4)
-#   4. run_few_shot 10 reps to 24    -> /tmp/r4q_fs.log      (VERDICT #6)
-#   5. run_seed_grid --seed 1        -> /tmp/r4q_grid.log    (VERDICT #8)
-# Touches /tmp/r4q_<stage>.done (with rc) after each stage. Stages 2+ wait
+#   0. rebuild_pretext_ckpt          -> /tmp/r4q_ckpt.log    (fresh host: the
+#      gitignored demo checkpoint that cv8/few-shot load must be retrained)
+#   1. run_cv8 --seed 17 23          -> /tmp/r4q_cv8.log     (VERDICT #2)
+#   2. run_selection_compare         -> /tmp/r4q_sel.log     (VERDICT #4)
+#   3. run_few_shot 10 reps to 24    -> /tmp/r4q_fs.log      (VERDICT #6)
+#   4. run_seed_grid --seed 1        -> /tmp/r4q_grid.log    (VERDICT #8)
+# (bench.py is NOT queued: the round-4 live rail set is already committed at
+# rc=0 — results/bench_r4_live.json — and the driver reruns it at round end.)
+# Touches /tmp/r4q_<stage>.done (with rc) after each stage. All stages wait
 # for the background pytest (1-core host: don't contend with its compiles).
 set -u
 cd /root/repo
@@ -31,14 +34,13 @@ run_stage() {
   log "done $name rc=$rc"
 }
 
-run_stage bench python bench.py
-
-# Heavier stages: let the pytest suite finish first (one core).
+# Let the background pytest suite finish first (one core).
 if [ -f /tmp/pytest_r4.pid ]; then
   while kill -0 "$(cat /tmp/pytest_r4.pid)" 2>/dev/null; do sleep 60; done
 fi
 log "pytest clear; starting experiment stages"
 
+run_stage ckpt python tools/rebuild_pretext_ckpt.py
 run_stage cv8 python tools/run_cv8.py --seed 17 23 --out results/synthetic/supervised_cv8.json
 run_stage sel python tools/run_selection_compare.py --epochs 150
 run_stage fs python tools/run_few_shot.py --repeats 10 --sizes 1,2,3,4,6,8,12,16,24 --n-songs 40
