@@ -25,13 +25,23 @@ until timeout 60 python -c "import jax; jax.devices()" >/dev/null 2>&1; do
 done
 log "relay up"
 
-run_stage() {
-  local name="$1"; shift
-  log "start $name: $*"
-  timeout 21600 "$@" > "/tmp/r4q_${name}.log" 2>&1
-  local rc=$?
-  echo "$rc" > "/tmp/r4q_${name}.done"
-  log "done $name rc=$rc"
+# Measured r4: the relay can silently DROP a compile RPC — the client then
+# blocks forever on axon-conn-read while a parallel probe of the same relay
+# works fine. A 6h outer timeout is useless against that; every stage gets a
+# bounded per-try timeout + retries. Retries are cheap: compiles persist in
+# the cache and train_pretext resumes from the last saved epoch.
+run_stage() {  # name per_try_timeout_s tries cmd...
+  local name="$1" to="$2" tries="$3" rc; shift 3
+  for i in $(seq 1 "$tries"); do
+    log "start $name try $i: $*"
+    timeout "$to" "$@" >> "/tmp/r4q_${name}.log" 2>&1
+    rc=$?
+    echo "$rc" > "/tmp/r4q_${name}.done"
+    log "done $name rc=$rc"
+    [ "$rc" -eq 0 ] && return 0
+    sleep 30
+  done
+  return 1
 }
 
 # Let the background pytest suite finish first (one core).
@@ -40,9 +50,10 @@ if [ -f /tmp/pytest_r4.pid ]; then
 fi
 log "pytest clear; starting experiment stages"
 
-run_stage ckpt python tools/rebuild_pretext_ckpt.py
-run_stage cv8 python tools/run_cv8.py --seed 17 23 --out results/synthetic/supervised_cv8.json
-run_stage sel python tools/run_selection_compare.py --epochs 150
-run_stage fs python tools/run_few_shot.py --repeats 10 --sizes 1,2,3,4,6,8,12,16,24 --n-songs 40
-run_stage grid python tools/run_seed_grid.py --seed 1
+run_stage ckpt 2100 3 python tools/rebuild_pretext_ckpt.py
+run_stage cv8 9000 2 python tools/run_cv8.py --seed 17 23 \
+  --merge-prior results/synthetic/supervised_cv8.json
+run_stage sel 7200 2 python tools/run_selection_compare.py --epochs 150
+run_stage fs 9000 2 python tools/run_few_shot.py --repeats 10 --sizes 1,2,3,4,6,8,12,16,24 --n-songs 40
+run_stage grid 7200 2 python tools/run_seed_grid.py --seed 1
 log "queue complete"
