@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--max-epochs", type=int, default=300)
     ap.add_argument("--patience", type=int, default=20)
     ap.add_argument("--difficulty", type=float, default=1.0)
+    ap.add_argument("--out-name", default="few_shot_comparison.json", help=(
+        "artifact filename under --out-dir; a non-default name never patches "
+        "summary.json (use for side runs like a claim-only 1-2-song pass)"))
     ap.add_argument("--n-songs", type=int, default=None, help=(
         "eval corpus size (default: demo n_songs=24 -> pool 18, max size 16). "
         "Sizes beyond 16 need a larger corpus; up to 48 the seed stream stays "
@@ -57,23 +60,37 @@ def main():
     bcfg = BeatExperimentConfig(status="vanilla", lr=2e-4, eval_method="dbn",
                                 max_epochs=args.max_epochs, patience=args.patience,
                                 batch_size=cfg.batch_size, pos_weight=cfg.pos_weight, seed=cfg.seed)
-    res_van = run_few_shot(mix_a, bcfg, train_sizes=sizes, repeats=args.repeats)
-    pcfg = dataclasses.replace(bcfg, status="pretrained", lr=2e-3)
-    res_pre = run_few_shot(split_a, pcfg, train_sizes=sizes, repeats=args.repeats,
-                           init_params=fused)
-
+    out_path = os.path.join(args.out_dir, args.out_name)
     payload = {
-        "vanilla": {str(k): v for k, v in res_van.items()},
-        "pretrained": {str(k): v for k, v in res_pre.items()},
+        "vanilla": {},
+        "pretrained": {},
         "max_epochs": args.max_epochs,
         "repeats": args.repeats,
         "n_songs": n_songs,
+        "partial": True,  # cleared when both arms complete
     }
-    with open(os.path.join(args.out_dir, "few_shot_comparison.json"), "w") as fh:
+
+    def writer(arm):
+        def cb(size, rec):
+            payload[arm][str(size)] = rec
+            with open(out_path, "w") as fh:
+                json.dump(payload, fh, indent=2)
+            print(json.dumps({"arm": arm, "size": size, **rec}), flush=True)
+        return cb
+
+    run_few_shot(mix_a, bcfg, train_sizes=sizes, repeats=args.repeats,
+                 on_size_done=writer("vanilla"))
+    pcfg = dataclasses.replace(bcfg, status="pretrained", lr=2e-3)
+    run_few_shot(split_a, pcfg, train_sizes=sizes, repeats=args.repeats,
+                 init_params=fused, on_size_done=writer("pretrained"))
+
+    del payload["partial"]
+    with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=2)
 
+    # Patch the grid summary only from a COMPLETE standard-named run.
     summary_path = os.path.join(args.out_dir, "summary.json")
-    if os.path.exists(summary_path):
+    if args.out_name == "few_shot_comparison.json" and os.path.exists(summary_path):
         with open(summary_path) as fh:
             summary = json.load(fh)
         summary["few_shot"] = {k: payload[k] for k in ("vanilla", "pretrained")}

@@ -32,6 +32,7 @@ def run_few_shot(
     repeats: int = 10,
     split_seed: int = 16,  # reference data_exp.py:47
     init_params=None,
+    on_size_done=None,
 ) -> Dict[int, Dict[str, float]]:
     sup_cfg = SupervisedConfig(
         status=cfg.status, pre=cfg.pre, lr=cfg.lr, eval_method=cfg.eval_method,
@@ -85,4 +86,9 @@ def run_few_shot(
             f1s.append(float(tm[0]))
         results[size] = {"F1": float(np.mean(f1s)), "F1_std": float(np.std(f1s))}
         log.info("few-shot size=%d: F1=%.3f +- %.3f", size, results[size]["F1"], results[size]["F1_std"])
+        if on_size_done is not None:
+            # Flush partial results after every size so a relay outage or
+            # timeout mid-sweep keeps the completed sizes (the sweep is
+            # hours at reference statistical power).
+            on_size_done(size, results[size])
     return results
