@@ -31,9 +31,17 @@ def main():
     ap.add_argument("--force", action="store_true", help="rebuild even if the checkpoint exists")
     args = ap.parse_args()
 
-    if os.path.isdir(args.out) and not args.force:
-        print(json.dumps({"skipped": "checkpoint already present", "path": args.out}))
+    # A bare `isdir` check can bless a half-trained checkpoint: train_pretext
+    # saves best-val params DURING training, so a wedge mid-run leaves a
+    # loadable-but-undertrained dir behind. Completion is signalled by a
+    # sibling marker file written only after training finishes; the build
+    # itself goes to a temp dir renamed into place on success.
+    marker = args.out + ".complete"
+    if os.path.exists(marker) and not args.force:
+        print(json.dumps({"skipped": "completed checkpoint already present", "path": args.out}))
         return
+
+    import shutil
 
     from zeronotesamba_tpu.experiments.demo_suite import DemoSuiteConfig, _build_corpus
     from zeronotesamba_tpu.experiments.pretext_driver import PretextRunConfig, train_pretext
@@ -44,11 +52,17 @@ def main():
                                   difficulty=cfg.difficulty)
     bank = np.stack([r.vqt for r in split_u]).astype(np.float32)
     n_val = max(2, len(bank) // 8)
+    tmp_out = args.out + ".building"
+    if os.path.isdir(tmp_out):
+        shutil.rmtree(tmp_out)
     pre_cfg = PretextRunConfig(task="zerons", num_epochs=cfg.pretext_epochs, batch_size=16,
                                seed=cfg.seed, lr=cfg.pretext_lr,
                                tracks_per_step=cfg.pretext_accum,
-                               checkpoint_path=os.path.abspath(args.out))
+                               checkpoint_path=os.path.abspath(tmp_out))
     _, hist = train_pretext(bank[n_val:], bank[:n_val], pre_cfg)
+    if os.path.isdir(args.out):
+        shutil.rmtree(args.out)
+    os.rename(tmp_out, args.out)
 
     record = {
         "val_loss_first": round(hist["val_loss"][0], 4),
@@ -61,6 +75,8 @@ def main():
     if os.path.exists(summary_path):
         with open(summary_path) as f:
             committed = json.load(f).get("pretext")
+    with open(marker, "w") as fh:
+        json.dump({"record": record}, fh)
     print(json.dumps({"rebuilt": record, "committed_summary": committed, "path": args.out}))
 
 

@@ -41,16 +41,29 @@ def main():
         "the historical layout, and moments pool exactly."))
     args = ap.parse_args()
 
+    # Dedupe while preserving order: a duplicated --seed would otherwise
+    # overwrite per_seed silently and double-count folds in the pool.
+    seeds = list(dict.fromkeys(args.seed)) if args.seed else None
+
     prior_seeds: dict = {}
     prior_n = 0
     if args.merge_prior and os.path.exists(args.merge_prior):
         with open(args.merge_prior) as fh:
             pj = json.load(fh)
         prior_n = int(pj.get("n_folds", 8))
+        if prior_n != args.folds:
+            print(json.dumps({"warning": "prior n_folds differs from --folds",
+                              "prior_n_folds": prior_n, "folds": args.folds}), flush=True)
         if "per_seed" in pj:
             prior_seeds = dict(pj["per_seed"])
         else:  # historical single-seed layout = demo-suite seed 0
             prior_seeds = {"0": {"vanilla": pj["vanilla"], "pretrained": pj["pretrained"]}}
+        # A seed scheduled for THIS run replaces (never adds to) its prior
+        # record: a retry after a mid-run wedge would otherwise read this
+        # run's own incremental writes back as "prior" and double-count.
+        if seeds:
+            for s in seeds:
+                prior_seeds.pop(str(s), None)
 
     from zeronotesamba_tpu.experiments.beat import (
         BeatExperimentConfig, run_beat_experiment, summarize,
@@ -67,13 +80,16 @@ def main():
     best_params = load_params(args.ckpt)
     fused_params = {"params": {"pretext": best_params["params"]}}
 
-    seeds = args.seed if args.seed else [cfg.seed]
+    if seeds is None:
+        seeds = [cfg.seed]
     per_seed = {}
     fold_f1 = {"vanilla": [], "pretrained": []}
 
     def pooled_over_all():
         # Fresh seeds contribute per-fold values; merged prior seeds only
         # their (mean, std, n) moments — which pool exactly (ddof=0).
+        # n is taken per prior-seed record when it carries one (mixed-fold
+        # merges would otherwise be mis-weighted by the file-level n_folds).
         out = {}
         for arm in ("vanilla", "pretrained"):
             n = len(fold_f1[arm])
@@ -81,9 +97,10 @@ def main():
             ss = float(np.sum(np.square(fold_f1[arm])))
             for rec in prior_seeds.values():
                 m, st = float(rec[arm]["F1"]), float(rec[arm]["F1_std"])
-                n += prior_n
-                s += prior_n * m
-                ss += prior_n * (st * st + m * m)
+                rn = int(rec.get("n_folds", prior_n))
+                n += rn
+                s += rn * m
+                ss += rn * (st * st + m * m)
             mean = s / n
             out[arm] = {
                 "F1": round(mean, 4),
@@ -94,14 +111,18 @@ def main():
 
     def write_artifact(done_seeds):
         all_per_seed = {**prior_seeds, **per_seed}
+        # Legacy top-level arms are pinned to the canonical demo seed 0 when
+        # present (consumers of the pre-multi-seed layout read seed-0
+        # numbers); only a run that never touched seed 0 falls back to its
+        # own first seed.
+        legacy = all_per_seed.get("0") or per_seed[str(done_seeds[0])]
         out = {
             "seeds": sorted({int(s) for s in all_per_seed}),
             "seeds_this_run": done_seeds,
             "per_seed": all_per_seed,
             "pooled": pooled_over_all(),
-            # Back-compat top-level arms = first seed of this run.
-            "vanilla": per_seed[str(done_seeds[0])]["vanilla"],
-            "pretrained": per_seed[str(done_seeds[0])]["pretrained"],
+            "vanilla": legacy["vanilla"],
+            "pretrained": legacy["pretrained"],
             "n_folds": args.folds,
             "difficulty": args.difficulty,
         }
@@ -109,7 +130,7 @@ def main():
             json.dump(out, fh, indent=2)
         return out
 
-    for seed in seeds:
+    for i, seed in enumerate(seeds):
         bcfg = BeatExperimentConfig(
             status="vanilla", lr=2e-4, eval_method="dbn", n_folds=args.folds,
             max_epochs=cfg.max_epochs, patience=cfg.patience,
@@ -125,13 +146,14 @@ def main():
         per_seed[str(seed)] = {
             "vanilla": {k: round(v, 4) for k, v in summarize(res_van).items()},
             "pretrained": {k: round(v, 4) for k, v in summarize(res_pre).items()},
+            "n_folds": args.folds,
         }
         fold_f1["vanilla"].extend(float(r.test_metrics[0]) for r in res_van)
         fold_f1["pretrained"].extend(float(r.test_metrics[0]) for r in res_pre)
         print(json.dumps({"seed": seed, **per_seed[str(seed)]}), flush=True)
         # Incremental write: a relay outage mid-run still leaves every
         # completed seed committed to the artifact (VERDICT r3 weak #1 class).
-        out = write_artifact(seeds[: seeds.index(seed) + 1])
+        out = write_artifact(seeds[: i + 1])
 
     print(json.dumps(out))
 
