@@ -20,6 +20,7 @@ from zeronotesamba_tpu.train.checkpoint import save_params
 from zeronotesamba_tpu.train.pretext import (
     PretextConfig,
     crop_shifts,
+    dropout_key,
     init_pretext_state,
     make_eval_step,
     make_staged_train_step,
@@ -68,6 +69,8 @@ class PretextRunConfig:
     # figures_every epochs (reference pretext.py:418-448)
     figures_every: int = 5
     trace_dir: Optional[str] = None  # jax.profiler trace of the first epoch
+    rng_impl: str = "rbg"  # dropout key impl: rbg = TPU hardware RNG (42 ms
+    # faster per step, train/pretext.dropout_key) | threefry = pre-r5 streams
 
 
 def build_bank_from_stem_root(
@@ -192,7 +195,7 @@ def train_pretext(
     hist = {"train_loss": [], "val_loss": [], "train_pos": [], "train_neg": [], "val_pos": [], "val_neg": []}
     if cfg.proxy_dataset is not None:
         hist["proxy_epoch"], hist["proxy_f1"] = [], []
-    key = jax.random.PRNGKey(cfg.seed + 1)
+    key = dropout_key(cfg.seed + 1, cfg.rng_impl)
     start_epoch = 0
     mgr = None
     if cfg.resume_dir:

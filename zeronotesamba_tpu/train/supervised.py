@@ -47,6 +47,9 @@ class SupervisedConfig:
     # all-zeros plateau attractor (losses/bce.py rationale)
     compute_dtype: str = "float32"  # float32 | bfloat16 — convs on the MXU in
     # this dtype, params/loss stay f32 (see PretextConfig.compute_dtype)
+    rng_impl: str = "rbg"  # dropout key impl: rbg = TPU hardware RNG (the
+    # ~10 per-step threefry dropout masks cost 42 ms of a 164 ms bf16 pretext
+    # step — train/pretext.dropout_key docstring) | threefry = pre-r5 streams
 
 
 def make_model(status: str, compute_dtype="float32"):
@@ -212,6 +215,10 @@ def run_epoch(
     """One pass over a batch plan. Returns (state, mean loss, metric vec (6,))."""
     losses = []
     all_scores: List[Tuple[float, ...]] = []
+    if train:
+        from zeronotesamba_tpu.train.pretext import dropout_key
+
+        base_key = dropout_key(cfg.dropout_seed, cfg.rng_impl)
     for i, (t, rows) in enumerate(plan):
         bucket = staged.buckets[t]
         idx = jnp.asarray(rows)
@@ -219,7 +226,7 @@ def run_epoch(
         pulse = _gather(bucket.pulse, idx)
         mask = _gather(bucket.mask, idx)
         if train:
-            rng = jax.random.fold_in(jax.random.PRNGKey(cfg.dropout_seed), epoch * 100003 + i)
+            rng = jax.random.fold_in(base_key, epoch * 100003 + i)
             state, loss, out = train_step(state, vqt, pulse, mask, rng, cfg.status, cfg.pos_weight)
         else:
             loss, out = eval_step(state, vqt, pulse, mask, cfg.status, cfg.pos_weight)
