@@ -136,6 +136,9 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--clmr", action="store_true", help="also run the CLMR pretext + finetune arm")
     d.add_argument("--difficulty", type=float, default=1.0,
                    help="corpus hardness scale (0 = clean round-2 corpora)")
+    d.add_argument("--pretext-selection", default="proxy_f1", choices=["proxy_f1", "val_loss"],
+                   help="pretext checkpoint selection: beat-proxy F1 (default; "
+                        "results/synthetic/selection_compare.json) or reference-parity val loss")
     _add_common(d)
 
     i = sub.add_parser("infer", help="track one audio file")
@@ -342,6 +345,7 @@ def main(argv=None):
             out_dir=args.out, n_songs=args.songs, pretext_epochs=args.pretext_epochs,
             max_epochs=args.max_epochs, folds=args.folds, clmr=args.clmr,
             difficulty=args.difficulty, seed=args.seed,
+            pretext_selection=args.pretext_selection,
         )
         print(json.dumps(run_demo_suite(cfg), indent=2))
 

@@ -91,6 +91,14 @@ class DemoSuiteConfig:
     # epochs (data_exp.py:84); at 1-2 train songs an epoch is ONE update, so
     # the CV-stage budget (max_epochs=60) starves tiny sizes into
     # early-stopped base-rate runs — non-monotone curves with huge variance.
+    pretext_selection: str = "proxy_f1"  # pretext checkpoint selection:
+    # proxy_f1 (demo-scale default — zero-shot F1 is non-monotone in NT-Xent
+    # val loss, and at 150 epochs val-loss selection measures 0.349 vs 0.620
+    # for beat-proxy selection, results/synthetic/selection_compare.json) |
+    # val_loss (reference parity, pretext.py:408-412). At the probe-validated
+    # 60-epoch demo budget the two usually agree; proxy_f1 makes longer
+    # budgets safe.
+    proxy_songs: int = 6  # disjoint labeled proxy set for proxy_f1 selection
     clmr: bool = False  # also run the CLMR-style pretext + finetune arm
     difficulty: float = 1.0  # scales every corpus difficulty knob; 0 = the
     # round-2 clean corpora (saturated: every arm at F1 ~0.95-1.0, few-shot
@@ -231,16 +239,26 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
                                   difficulty=cfg.difficulty)
     bank = np.stack([r.vqt for r in split_u]).astype(np.float32)
     n_val = max(2, len(bank) // 8)
+    proxy_ds = None
+    if cfg.pretext_selection == "proxy_f1":
+        # Disjoint seed stream: selection must never read corpus A itself.
+        proxy_ds, _, _ = _build_corpus(cfg.proxy_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
+                                       freq_lo=700.0, freq_hi=2800.0, seed=cfg.seed + 77,
+                                       difficulty=cfg.difficulty)
     pre_cfg = PretextRunConfig(task="zerons", num_epochs=cfg.pretext_epochs, batch_size=16, seed=cfg.seed,
                                lr=cfg.pretext_lr, tracks_per_step=cfg.pretext_accum,
-                               checkpoint_path=os.path.join(cfg.out_dir, "pretext_ckpt"))
+                               checkpoint_path=os.path.join(cfg.out_dir, "pretext_ckpt"),
+                               selection=cfg.pretext_selection, proxy_dataset=proxy_ds)
     best_params, hist = train_pretext(bank[n_val:], bank[:n_val], pre_cfg)
     results["pretext"] = {
         "val_loss_first": round(hist["val_loss"][0], 4),
         "val_loss_best": round(min(hist["val_loss"]), 4),
         "val_pos_final": round(hist["val_pos"][-1], 4),
         "val_neg_final": round(hist["val_neg"][-1], 4),
+        "selection": cfg.pretext_selection,
     }
+    if cfg.pretext_selection == "proxy_f1" and hist.get("proxy_f1"):
+        results["pretext"]["proxy_f1_best"] = round(max(hist["proxy_f1"]), 4)
     fused_params = {"params": {"pretext": best_params["params"]}}
 
     # 2. Zero-shot (validation mode): pretrained vs random init, with the
