@@ -495,6 +495,17 @@ def main():
         })
         if mfu_net(pb_ms, pb_tf):
             out["pretext_train_mfu_bf16_net"] = mfu_net(pb_ms, pb_tf)
+    # Large-batch rail: batch 64 amortizes the fixed tunnel round-trip 4x
+    # (the production configuration for reference-scale banks).
+    pb64 = _stage(out, "pretext_train_bf16_b64", lambda: bench_pretext_train(batch=64, dtype="bfloat16", n_iters=6, warmup=2))
+    if pb64:
+        pb64_ms, pb64_tf = pb64
+        out.update({
+            "pretext_step_ms_b64_bf16": round(pb64_ms, 2),
+            "pretext_train_mfu_b64_bf16": round(pb64_tf / peak, 4),
+        })
+        if mfu_net(pb64_ms, pb64_tf):
+            out["pretext_train_mfu_b64_bf16_net"] = mfu_net(pb64_ms, pb64_tf)
     s = _stage(out, "supervised_train", bench_supervised_train)
     if s:
         s_ms, s_tf = s

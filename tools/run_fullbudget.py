@@ -64,6 +64,11 @@ def main():
         lr=cfg.pretext_lr, tracks_per_step=cfg.pretext_accum,
         checkpoint_path=ckpt, selection="proxy_f1",
         proxy_dataset=proxy, proxy_every=args.proxy_every,
+        # The first full-budget run pinned at ln(16) for all 300 epochs
+        # (fullbudget_cv8.json best_proxy_epoch=9); give the watchdog a
+        # demo-scale escape deadline so a pinned attempt is restarted
+        # instead of burning the whole budget.
+        plateau_deadline=80,
     )
     best_params, hist = train_pretext(bank[n_val:], bank[:n_val], pre_cfg)
     fused = {"params": {"pretext": best_params["params"]}}
@@ -75,6 +80,7 @@ def main():
         "best_proxy_epoch": int(hist["proxy_epoch"][int(np.argmax(hist["proxy_f1"]))]),
         "best_proxy_f1": round(float(np.max(hist["proxy_f1"])), 4),
         "zero_shot_f1_corpus_a": round(zs_f1, 4),
+        "watchdog_restarts": hist.get("restarts", []),
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as fh:

@@ -55,12 +55,18 @@ def main():
                                   difficulty=cfg.difficulty)
     bank = np.stack([r.vqt for r in split_u]).astype(np.float32)
     n_val = max(2, len(bank) // 8)
+    # plateau_deadline: seed 1's first run never escaped the ln(16) attractor
+    # within the 60-epoch budget (val pinned at 2.7725 -> zero-shot 0.325 ~
+    # random 0.336); the watchdog reinits with a fresh seed instead of
+    # returning a pinned checkpoint (pretext_driver.PretextRunConfig).
     pre_cfg = PretextRunConfig(task="zerons", num_epochs=cfg.pretext_epochs, batch_size=16,
                                seed=cfg.seed, lr=cfg.pretext_lr, tracks_per_step=cfg.pretext_accum,
-                               checkpoint_path=os.path.join(cfg.out_dir, f"pretext_ckpt_seed{args.seed}"))
+                               checkpoint_path=os.path.join(cfg.out_dir, f"pretext_ckpt_seed{args.seed}"),
+                               plateau_deadline=cfg.pretext_epochs)
     best_params, hist = train_pretext(bank[n_val:], bank[:n_val], pre_cfg)
     fused_params = {"params": {"pretext": best_params["params"]}}
-    results["pretext"] = {"val_loss_best": round(min(hist["val_loss"]), 4)}
+    results["pretext"] = {"val_loss_best": round(min(hist["val_loss"]), 4),
+                          "watchdog_restarts": hist.get("restarts", [])}
 
     # Zero-shot arms (demo_suite stage 2).
     zcfg = BeatExperimentConfig(status="pretrained", pre="validation", eval_method="dbn",

@@ -99,6 +99,14 @@ class DemoSuiteConfig:
     # 60-epoch demo budget the two usually agree; proxy_f1 makes longer
     # budgets safe.
     proxy_songs: int = 6  # disjoint labeled proxy set for proxy_f1 selection
+    pretext_plateau_deadline: int = 0  # 0 = auto: the full pretext budget
+    # (plateau-escape on the 48-song bank happens at ~45-54 epochs when it
+    # happens at all, and escaping vs never-escaping runs are
+    # indistinguishable before that — pretext_driver.PretextRunConfig
+    # docstring). At experiment seed 1 the 60-epoch run never escapes and
+    # zero-shot collapses to random (summary_seed1.json); the watchdog
+    # reinitializes with a fresh seed instead of returning a pinned
+    # checkpoint. Set negative to disable entirely (reference parity).
     clmr: bool = False  # also run the CLMR-style pretext + finetune arm
     difficulty: float = 1.0  # scales every corpus difficulty knob; 0 = the
     # round-2 clean corpora (saturated: every arm at F1 ~0.95-1.0, few-shot
@@ -245,10 +253,14 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
         proxy_ds, _, _ = _build_corpus(cfg.proxy_songs, cfg.duration_s, bpm_lo=70, bpm_hi=180,
                                        freq_lo=700.0, freq_hi=2800.0, seed=cfg.seed + 77,
                                        difficulty=cfg.difficulty)
+    deadline = cfg.pretext_plateau_deadline
+    if deadline == 0:
+        deadline = cfg.pretext_epochs  # auto: restart only a budget-exhausted pinned run
     pre_cfg = PretextRunConfig(task="zerons", num_epochs=cfg.pretext_epochs, batch_size=16, seed=cfg.seed,
                                lr=cfg.pretext_lr, tracks_per_step=cfg.pretext_accum,
                                checkpoint_path=os.path.join(cfg.out_dir, "pretext_ckpt"),
-                               selection=cfg.pretext_selection, proxy_dataset=proxy_ds)
+                               selection=cfg.pretext_selection, proxy_dataset=proxy_ds,
+                               plateau_deadline=max(0, deadline))
     best_params, hist = train_pretext(bank[n_val:], bank[:n_val], pre_cfg)
     results["pretext"] = {
         "val_loss_first": round(hist["val_loss"][0], 4),
@@ -256,6 +268,7 @@ def run_demo_suite(cfg: DemoSuiteConfig) -> Dict[str, dict]:
         "val_pos_final": round(hist["val_pos"][-1], 4),
         "val_neg_final": round(hist["val_neg"][-1], 4),
         "selection": cfg.pretext_selection,
+        "watchdog_restarts": hist.get("restarts", []),
     }
     if cfg.pretext_selection == "proxy_f1" and hist.get("proxy_f1"):
         results["pretext"]["proxy_f1_best"] = round(max(hist["proxy_f1"]), 4)

@@ -71,6 +71,22 @@ class PretextRunConfig:
     trace_dir: Optional[str] = None  # jax.profiler trace of the first epoch
     rng_impl: str = "rbg"  # dropout key impl: rbg = TPU hardware RNG (42 ms
     # faster per step, train/pretext.dropout_key) | threefry = pre-r5 streams
+    # Plateau watchdog (README limit (d)). Demo-scale NT-Xent starts pinned
+    # at the ln(batch_size) constant-embedding attractor and escape is a
+    # stochastic threshold event: measured traces of escaping and
+    # never-escaping runs are indistinguishable until the escape itself
+    # (val = ln B, pos = neg = 0.999 in both through epoch ~40; seed 0
+    # escapes at ~45-54 epochs on the 48-song bank, seed 1 never does —
+    # results/synthetic/summary_seed1.json). The only robust detector is a
+    # deadline: if val loss has not dropped below ln(batch_size) -
+    # plateau_margin within plateau_deadline epochs of an attempt, reinit
+    # params/optimizer/shuffle streams with seed + 1000*attempt and retry
+    # (up to plateau_restarts extra attempts; the last attempt always runs
+    # the full num_epochs). 0 disables (reference parity — the reference has
+    # no such guard). Worst-case cost: restarts*deadline + num_epochs epochs.
+    plateau_deadline: int = 0
+    plateau_margin: float = 0.05
+    plateau_restarts: int = 2
 
 
 def build_bank_from_stem_root(
@@ -237,57 +253,80 @@ def train_pretext(
             perms.append(p_i.reshape(-1, k))
         return list(np.stack(perms, axis=1).reshape(-1, n_shard * k))
 
-    for epoch in range(start_epoch, cfg.num_epochs):
-        tr_losses, tr_pos, tr_neg = [], [], []
-        with trace(cfg.trace_dir if epoch == start_epoch else None):
-            for i in epoch_updates():
-                if np.ndim(i) > 0:
-                    starts = np.stack([
-                        sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng) for _ in i
-                    ])
-                    idx = jnp.asarray(np.asarray(i, np.int32))
-                else:
-                    starts = sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
-                    idx = jnp.int32(i)
-                key, sub = jax.random.split(key)
-                state, loss, pc, nc = step(state, bank_dev, idx, jnp.asarray(starts), sub)
-                tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
-        va_losses, va_pos, va_neg = [], [], []
-        for vb in val_batches:
-            loss, pc, nc = eval_step(state, vb)
-            va_losses.append(float(loss)); va_pos.append(float(pc)); va_neg.append(float(nc))
-        tr, va = float(np.mean(tr_losses)), float(np.mean(va_losses))
-        hist["train_loss"].append(tr); hist["val_loss"].append(va)
-        hist["train_pos"].append(float(np.mean(tr_pos))); hist["train_neg"].append(float(np.mean(tr_neg)))
-        hist["val_pos"].append(float(np.mean(va_pos))); hist["val_neg"].append(float(np.mean(va_neg)))
-        log.info("epoch %d: train=%.4f val=%.4f pos=%.3f neg=%.3f", epoch, tr, va,
-                 hist["val_pos"][-1], hist["val_neg"][-1])
-        if va < best_val:
-            best_val = va
-            best_params = jax.tree.map(lambda x: x.copy(), state.params)
-            if cfg.checkpoint_path:
-                path = cfg.checkpoint_path if cfg.selection == "val_loss" else cfg.checkpoint_path + "_valsel"
-                save_params(path, best_params)
-        if cfg.proxy_dataset is not None and (
-            (epoch + 1) % cfg.proxy_every == 0 or epoch == cfg.num_epochs - 1
-        ):
-            pf1 = zero_shot_proxy_f1(cfg.proxy_dataset, state.params,
-                                     eval_method=cfg.proxy_eval_method)
-            hist["proxy_epoch"].append(epoch)
-            hist["proxy_f1"].append(pf1)
-            log.info("epoch %d: proxy zero-shot F1=%.3f (best %.3f)", epoch, pf1, max(best_proxy, pf1))
-            if pf1 > best_proxy:
-                best_proxy = pf1
-                best_proxy_params = jax.tree.map(lambda x: x.copy(), state.params)
+    hist["restarts"] = []  # global-epoch indices where a watchdog reinit fired
+    pinned_ln = float(np.log(cfg.batch_size))
+    attempts = 1 + (int(cfg.plateau_restarts) if cfg.plateau_deadline else 0)
+    for attempt in range(attempts):
+        if attempt:
+            log.warning(
+                "plateau watchdog: val pinned near ln(B)=%.4f after %d epochs; "
+                "reinitializing with seed %d (attempt %d/%d)",
+                pinned_ln, cfg.plateau_deadline, cfg.seed + 1000 * attempt,
+                attempt + 1, attempts)
+            state = init_pretext_state(pcfg, jax.random.PRNGKey(cfg.seed + 1000 * attempt))
+            rng = np.random.default_rng(cfg.seed + 1000 * attempt)
+            key = dropout_key(cfg.seed + 1 + 1000 * attempt, cfg.rng_impl)
+            hist["restarts"].append(len(hist["val_loss"]))
+        a_start = start_epoch if attempt == 0 else 0
+        escaped = False
+        for epoch in range(a_start, cfg.num_epochs):
+            tr_losses, tr_pos, tr_neg = [], [], []
+            with trace(cfg.trace_dir if epoch == a_start and attempt == 0 else None):
+                for i in epoch_updates():
+                    if np.ndim(i) > 0:
+                        starts = np.stack([
+                            sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng) for _ in i
+                        ])
+                        idx = jnp.asarray(np.asarray(i, np.int32))
+                    else:
+                        starts = sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
+                        idx = jnp.int32(i)
+                    key, sub = jax.random.split(key)
+                    state, loss, pc, nc = step(state, bank_dev, idx, jnp.asarray(starts), sub)
+                    tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
+            va_losses, va_pos, va_neg = [], [], []
+            for vb in val_batches:
+                loss, pc, nc = eval_step(state, vb)
+                va_losses.append(float(loss)); va_pos.append(float(pc)); va_neg.append(float(nc))
+            tr, va = float(np.mean(tr_losses)), float(np.mean(va_losses))
+            hist["train_loss"].append(tr); hist["val_loss"].append(va)
+            hist["train_pos"].append(float(np.mean(tr_pos))); hist["train_neg"].append(float(np.mean(tr_neg)))
+            hist["val_pos"].append(float(np.mean(va_pos))); hist["val_neg"].append(float(np.mean(va_neg)))
+            log.info("epoch %d: train=%.4f val=%.4f pos=%.3f neg=%.3f", epoch, tr, va,
+                     hist["val_pos"][-1], hist["val_neg"][-1])
+            if va < pinned_ln - cfg.plateau_margin:
+                escaped = True
+            if va < best_val:
+                best_val = va
+                best_params = jax.tree.map(lambda x: x.copy(), state.params)
                 if cfg.checkpoint_path:
-                    path = cfg.checkpoint_path if cfg.selection == "proxy_f1" else cfg.checkpoint_path + "_proxysel"
-                    save_params(path, best_proxy_params)
-        if mgr is not None:
-            mgr.save(epoch, state, metrics={"val_loss": va})
-        if cfg.figures_path and (epoch + 1) % cfg.figures_every == 0:
-            from zeronotesamba_tpu.utils.plotting import plot_history
+                    path = cfg.checkpoint_path if cfg.selection == "val_loss" else cfg.checkpoint_path + "_valsel"
+                    save_params(path, best_params)
+            if cfg.proxy_dataset is not None and (
+                (epoch + 1) % cfg.proxy_every == 0 or epoch == cfg.num_epochs - 1
+            ):
+                pf1 = zero_shot_proxy_f1(cfg.proxy_dataset, state.params,
+                                         eval_method=cfg.proxy_eval_method)
+                hist["proxy_epoch"].append(epoch)
+                hist["proxy_f1"].append(pf1)
+                log.info("epoch %d: proxy zero-shot F1=%.3f (best %.3f)", epoch, pf1, max(best_proxy, pf1))
+                if pf1 > best_proxy:
+                    best_proxy = pf1
+                    best_proxy_params = jax.tree.map(lambda x: x.copy(), state.params)
+                    if cfg.checkpoint_path:
+                        path = cfg.checkpoint_path if cfg.selection == "proxy_f1" else cfg.checkpoint_path + "_proxysel"
+                        save_params(path, best_proxy_params)
+            if mgr is not None:
+                mgr.save(epoch, state, metrics={"val_loss": va})
+            if cfg.figures_path and (epoch + 1) % cfg.figures_every == 0:
+                from zeronotesamba_tpu.utils.plotting import plot_history
 
-            plot_history(hist, cfg.figures_path)
+                plot_history(hist, cfg.figures_path)
+            if (cfg.plateau_deadline and not escaped and attempt < attempts - 1
+                    and epoch - a_start + 1 >= cfg.plateau_deadline):
+                break
+        if escaped or attempt == attempts - 1:
+            break
     if mgr is not None:
         mgr.close()
     if cfg.selection == "proxy_f1":
