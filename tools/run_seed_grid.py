@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out-dir", default="results/synthetic")
     ap.add_argument("--difficulty", type=float, default=1.0)
+    ap.add_argument("--out-name", default=None,
+                    help="artifact filename (default summary_seed{N}.json); "
+                         "use to keep a rerun from overwriting prior evidence")
+    ap.add_argument("--skip-cross", action="store_true",
+                    help="skip the cross-dataset arms (deterministic repeats "
+                         "of a prior run when only the pretext arm changed)")
     args = ap.parse_args()
 
     from zeronotesamba_tpu.decode.ellis import beat_track_signal
@@ -87,18 +93,20 @@ def main():
     }
 
     # Cross-dataset arms (demo_suite stage 4).
-    bcfg = BeatExperimentConfig(status="vanilla", lr=2e-4, eval_method="dbn", n_folds=cfg.folds,
-                                max_epochs=cfg.max_epochs, patience=cfg.patience,
-                                batch_size=cfg.batch_size, pos_weight=cfg.pos_weight, seed=cfg.seed)
-    ccfg = dataclasses.replace(bcfg, n_folds=2, max_epochs=max(150, cfg.max_epochs))
-    res_cross = run_cross_experiment(mix_a, mix_b, ccfg)
-    res_b_ctrl = run_beat_experiment(mix_b, ccfg, progress=False)
-    results["cross_data"] = {
-        "a_to_b": _metrics_dict(summarize(res_cross)),
-        "b_in_domain": _metrics_dict(summarize(res_b_ctrl)),
-    }
+    if not args.skip_cross:
+        bcfg = BeatExperimentConfig(status="vanilla", lr=2e-4, eval_method="dbn", n_folds=cfg.folds,
+                                    max_epochs=cfg.max_epochs, patience=cfg.patience,
+                                    batch_size=cfg.batch_size, pos_weight=cfg.pos_weight, seed=cfg.seed)
+        ccfg = dataclasses.replace(bcfg, n_folds=2, max_epochs=max(150, cfg.max_epochs))
+        res_cross = run_cross_experiment(mix_a, mix_b, ccfg)
+        res_b_ctrl = run_beat_experiment(mix_b, ccfg, progress=False)
+        results["cross_data"] = {
+            "a_to_b": _metrics_dict(summarize(res_cross)),
+            "b_in_domain": _metrics_dict(summarize(res_b_ctrl)),
+        }
 
-    out_path = os.path.join(cfg.out_dir, f"summary_seed{args.seed}.json")
+    out_name = args.out_name or f"summary_seed{args.seed}.json"
+    out_path = os.path.join(cfg.out_dir, out_name)
     with open(out_path, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results))
