@@ -154,6 +154,11 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--out", required=True, help="output root (structure preserved)")
     rs.add_argument("--rate", type=int, default=44100, help="target sample rate")
 
+    x = sub.add_parser("export-xlsx", help="render committed evidence JSONs as the "
+                       "reference's six results workbooks (stdlib xlsx writer)")
+    x.add_argument("--src", default="results/synthetic")
+    x.add_argument("--out", default="results/synthetic/xlsx")
+
     td = sub.add_parser("track-dir", help="batch-track every wav in a directory")
     td.add_argument("audio_dir")
     td.add_argument("--params", default=None)
@@ -348,6 +353,11 @@ def main(argv=None):
             pretext_selection=args.pretext_selection,
         )
         print(json.dumps(run_demo_suite(cfg), indent=2))
+
+    elif args.cmd == "export-xlsx":
+        from zeronotesamba_tpu.experiments.report_xlsx import export
+
+        print(json.dumps(export(args.src, args.out)))
 
     elif args.cmd == "infer":
         from zeronotesamba_tpu.infer import BeatTracker

@@ -5,8 +5,9 @@ Sparsity/information statistics over per-frame embedding pulses
 Shannon entropy, approximate entropy, sample entropy, and the maximum
 autocorrelation in the 0.24-1.0 s lag window (the beat-periodicity band).
 Results are aggregated as quantile tables (0.1/0.25/0.5/0.75/0.9/mean) and
-written as CSV/JSON (openpyxl is unavailable; the xlsx appender of
-measures.py:33-116 is replaced by structured files).
+written as CSV/JSON plus a real ``.xlsx`` workbook: openpyxl is unavailable
+in this image, so the appender of reference measures.py:33-116 is rebuilt on
+the stdlib writer in utils/xlsx.py (same append-below-last-row semantics).
 """
 
 from __future__ import annotations
@@ -201,6 +202,23 @@ def write_measures_report(
             w.writerow(["run_id", "label", "measure"] + [f"q{q}" for q in QUANTILES] + ["mean"])
         for name, entry in table.items():
             w.writerow([run_id, label, name] + [entry[f"q{q}"] for q in QUANTILES] + [entry["mean"]])
+    # xlsx twin of the CSV (reference measures.py:33-116 append_df_to_excel):
+    # append the same rows below the sheet's last row; fresh truncates.
+    from zeronotesamba_tpu.utils.xlsx import append_rows
+
+    xlsx_path = out_path + ".xlsx"
+    if fresh and os.path.exists(xlsx_path):
+        os.remove(xlsx_path)
+    header = [["run_id", "label", "measure"] + [f"q{q}" for q in QUANTILES] + ["mean"]] \
+        if fresh or not os.path.exists(xlsx_path) else []
+    append_rows(
+        xlsx_path,
+        header + [
+            [run_id, label, name] + [entry[f"q{q}"] for q in QUANTILES] + [entry["mean"]]
+            for name, entry in table.items()
+        ],
+        sheet_name="measures",
+    )
 
 
 def measure_arm(
