@@ -150,7 +150,7 @@ def bench_device(variant: str = "f32", n_iters: int = 8, warmup: int = 2) -> flo
 
 
 def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, crop: int = 313,
-                        dtype: str = "float32"):
+                        dtype: str = "float32", steps_per_call: int = 1):
     """Pretext train-step throughput (SURVEY §6's 'pretext step time at batch
     16'): the staged fwd+bwd NT-Xent step on a device-resident bank.
     Dedup-proof: every timed step uses distinct (track_idx, starts) args.
@@ -158,7 +158,10 @@ def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, cro
     FLOP model over the twin encoder streams. ``dtype='bfloat16'`` measures
     the mixed-precision path (tests/test_bf16_training.py pins parity).
     Dropout keys come from the engines' default rbg impl — the threefry mask
-    programs cost 42 ms of a 164 ms step (results/profile_train_step.json)."""
+    programs cost 42 ms of a 164 ms step (results/profile_train_step.json).
+    ``steps_per_call=S`` measures the multi-step dispatch (lax.scan over S
+    optimizer steps per executed program — amortizes the ~34 ms relay
+    round-trip to 34/S ms); the reported ms is still per optimizer step."""
     import jax
     import jax.numpy as jnp
 
@@ -168,7 +171,7 @@ def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, cro
 
     cfg = PretextConfig(batch_size=batch, crop_frames=crop, compute_dtype=dtype)
     state = init_pretext_state(cfg, jax.random.PRNGKey(0))
-    step = make_staged_train_step(cfg)
+    step = make_staged_train_step(cfg, steps_per_call=steps_per_call)
     bank_frames = 2 * crop
     bank = jax.random.normal(jax.random.PRNGKey(1), (4, 2, 96, bank_frames), dtype=np.float32)
     jax.block_until_ready(bank)
@@ -176,14 +179,23 @@ def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, cro
     key = dropout_key(3)
     times = []
     for i in range(warmup + n_iters):
-        starts = jnp.asarray(sample_shifts(bank_frames, batch, crop, rng))
         key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
-        state, loss, _, _ = step(state, bank, jnp.int32(i % 4), starts, sub)
-        float(loss)  # host read: forces real execution through the relay
+        if steps_per_call > 1:
+            tracks = jnp.asarray(rng.integers(0, 4, size=steps_per_call).astype(np.int32))
+            starts = jnp.asarray(np.stack([
+                sample_shifts(bank_frames, batch, crop, rng) for _ in range(steps_per_call)
+            ]))
+            t0 = time.perf_counter()
+            state, losses, _, _ = step(state, bank, tracks, starts, sub)
+            float(losses[-1])  # host read: forces real execution through the relay
+        else:
+            starts = jnp.asarray(sample_shifts(bank_frames, batch, crop, rng))
+            t0 = time.perf_counter()
+            state, loss, _, _ = step(state, bank, jnp.int32(i % 4), starts, sub)
+            float(loss)  # host read: forces real execution through the relay
         if i >= warmup:
             times.append(time.perf_counter() - t0)
-    step_s = float(np.median(times))
+    step_s = float(np.median(times)) / steps_per_call
     flops = 3.0 * 2.0 * batch * encoder_fwd_flops(crop)  # fwd+bwd, two streams
     return step_s * 1e3, flops / step_s / 1e12
 
@@ -495,6 +507,19 @@ def main():
         })
         if mfu_net(pb_ms, pb_tf):
             out["pretext_train_mfu_bf16_net"] = mfu_net(pb_ms, pb_tf)
+    # Multi-step dispatch rail: lax.scan over 8 optimizer steps per executed
+    # program amortizes the fixed relay round-trip 8x at the reference batch
+    # (train/pretext.make_staged_train_step steps_per_call; numerics pinned
+    # by tests/test_train.py::test_pretext_multistep_scan_matches_sequential).
+    pk = _stage(out, "pretext_train_bf16_k8",
+                lambda: bench_pretext_train(dtype="bfloat16", steps_per_call=8,
+                                            n_iters=6, warmup=2))
+    if pk:
+        pk_ms, pk_tf = pk
+        out.update({
+            "pretext_step_ms_b16_bf16_k8": round(pk_ms, 2),
+            "pretext_train_mfu_bf16_k8": round(pk_tf / peak, 4),
+        })
     # Large-batch rail: batch 64 amortizes the fixed tunnel round-trip 4x
     # (the production configuration for reference-scale banks).
     pb64 = _stage(out, "pretext_train_bf16_b64", lambda: bench_pretext_train(batch=64, dtype="bfloat16", n_iters=6, warmup=2))

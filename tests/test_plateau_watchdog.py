@@ -66,6 +66,22 @@ def test_watchdog_disabled_is_reference_parity():
     assert h1["restarts"] == []
 
 
+def test_driver_multistep_dispatch_trains():
+    """steps_per_call>1 (scan dispatch) runs the same epoch budget: per-epoch
+    history lengths match the single-dispatch run and every track still
+    contributes (6 tracks / S=4 -> 2 padded scan programs per epoch)."""
+    bank = _bank()
+    single = PretextRunConfig(task="zerons", num_epochs=2, batch_size=4,
+                              crop_frames=32, lr=1e-4, seed=0)
+    multi = PretextRunConfig(task="zerons", num_epochs=2, batch_size=4,
+                             crop_frames=32, lr=1e-4, seed=0, steps_per_call=4,
+                             scan_unroll=True)
+    _, h0 = train_pretext(bank[2:], bank[:2], single)
+    _, h1 = train_pretext(bank[2:], bank[:2], multi)
+    assert len(h1["val_loss"]) == len(h0["val_loss"]) == 2
+    assert all(np.isfinite(v) for v in h1["train_loss"] + h1["val_loss"])
+
+
 def test_watchdog_restart_uses_fresh_stream():
     # The restarted attempt must come from a different init: its first-epoch
     # val loss differs from attempt 0's first epoch (different PRNGKey).

@@ -184,6 +184,38 @@ def test_pretext_staged_step_matches_host_crops():
     np.testing.assert_allclose(l1, l2, atol=1e-6)
 
 
+def test_pretext_multistep_scan_matches_sequential():
+    """steps_per_call=S (one dispatched scan program) == S sequential
+    single-step calls with dropout keys fold_in(rng, s) — the multi-step
+    dispatch only amortizes the relay round-trip, never changes numerics.
+    unroll=True because XLA:CPU executes convs inside a rolled while-loop
+    ~50x slower (make_staged_train_step scan_unroll note); unroll only
+    changes the loop lowering, not the math."""
+    from zeronotesamba_tpu.train.pretext import make_staged_train_step
+
+    cfg = PretextConfig(batch_size=2, crop_frames=32, dropout_rate=0.1)
+    state = init_pretext_state(cfg, jax.random.PRNGKey(0))
+    g = np.random.default_rng(4)
+    bank = jnp.asarray(g.standard_normal((3, 2, 96, 64)).astype(np.float32))
+    tracks = jnp.asarray(np.array([2, 0, 1], np.int32))
+    starts = jnp.asarray(g.integers(0, 32, size=(3, 2)).astype(np.int32))
+    rng = jax.random.key(9)
+
+    multi = make_staged_train_step(cfg, steps_per_call=3, scan_unroll=True)
+    s_multi, losses, pcs, ncs = multi(state, bank, tracks, starts, rng)
+    assert losses.shape == (3,) and pcs.shape == (3,)
+
+    single = make_staged_train_step(cfg)
+    st, seq = state, []
+    for s in range(3):
+        st, loss, _, _ = single(st, bank, tracks[s], starts[s], jax.random.fold_in(rng, s))
+        seq.append(float(loss))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(seq), rtol=1e-5)
+    l1 = np.asarray(jax.tree.leaves(s_multi.params)[0])
+    l2 = np.asarray(jax.tree.leaves(st.params)[0])
+    np.testing.assert_allclose(l1, l2, atol=1e-6)
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_ds):
     from zeronotesamba_tpu.train.checkpoint import CheckpointManager, load_params, save_params
 

@@ -99,6 +99,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "or zero-shot beat F1 on a labeled proxy set")
     pt.add_argument("--proxy-data", default=None,
                     help="npz dataset cache for --selection proxy_f1")
+    pt.add_argument("--steps-per-call", type=int, default=1,
+                    help="dispatch S optimizer steps per executed program "
+                         "(lax.scan; amortizes the relay round-trip; "
+                         "single-device only)")
     _add_common(pt)
 
     ts = sub.add_parser("train-separator", help="train the learned drum/rest mask separator")
@@ -255,7 +259,7 @@ def main(argv=None):
         cfg = PretextRunConfig(task=args.task, num_epochs=args.epochs, batch_size=args.batch_size,
                                seed=args.seed, checkpoint_path=args.checkpoint,
                                compute_dtype=args.dtype, selection=args.selection,
-                               proxy_dataset=proxy_ds)
+                               proxy_dataset=proxy_ds, steps_per_call=args.steps_per_call)
         train_pretext(train_bank, val_bank, cfg, mesh=mesh)
 
     elif args.cmd == "train-separator":

@@ -44,6 +44,15 @@ class PretextRunConfig:
     tracks_per_step: int = 1  # >1 = accumulate k per-track NT-Xent batches
     # into one update (same per-track loss semantics; sqrt(k) less gradient
     # noise — the demo-scale plateau-escape lever, see make_staged_train_step)
+    steps_per_call: int = 1  # >1 = dispatch S optimizer steps as ONE executed
+    # program (lax.scan — amortizes the ~34 ms relay round-trip to 34/S ms;
+    # make_staged_train_step steps_per_call). Numerically a different dropout/
+    # shuffle stream than S single dispatches of the same updates only through
+    # key handling, so committed artifacts keep the default 1; single-device
+    # only (forced to 1 under a mesh).
+    scan_unroll: bool = False  # unroll the steps_per_call scan (CPU-test/
+    # debug knob: XLA:CPU runs convs inside a rolled while-loop ~50x slower;
+    # TPU keeps the rolled loop)
     seed: int = 0
     checkpoint_path: Optional[str] = None  # best-val params (reference
     # models/shift_pret_cnn_16.pth equivalent)
@@ -173,7 +182,9 @@ def train_pretext(
         temperature=cfg.temperature, lr=cfg.lr, compute_dtype=cfg.compute_dtype,
     )
     state = init_pretext_state(pcfg, jax.random.PRNGKey(cfg.seed))
-    step = make_staged_train_step(pcfg, mesh=mesh)
+    s_call = max(1, int(cfg.steps_per_call)) if mesh is None else 1
+    step = make_staged_train_step(pcfg, mesh=mesh, steps_per_call=s_call,
+                                  scan_unroll=cfg.scan_unroll)
     eval_step = make_eval_step(pcfg)
     rng = np.random.default_rng(cfg.seed)
     # Stage both banks on device once; training batches are (track, shifts)
@@ -271,19 +282,40 @@ def train_pretext(
         escaped = False
         for epoch in range(a_start, cfg.num_epochs):
             tr_losses, tr_pos, tr_neg = [], [], []
+
+            def starts_for(i):
+                if np.ndim(i) > 0:
+                    return np.stack([
+                        sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng) for _ in i
+                    ])
+                return sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
+
             with trace(cfg.trace_dir if epoch == a_start and attempt == 0 else None):
-                for i in epoch_updates():
-                    if np.ndim(i) > 0:
-                        starts = np.stack([
-                            sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng) for _ in i
-                        ])
-                        idx = jnp.asarray(np.asarray(i, np.int32))
-                    else:
-                        starts = sample_shifts(bank_frames, pcfg.batch_size, pcfg.crop_frames, rng)
-                        idx = jnp.int32(i)
-                    key, sub = jax.random.split(key)
-                    state, loss, pc, nc = step(state, bank_dev, idx, jnp.asarray(starts), sub)
-                    tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
+                updates = epoch_updates()
+                if s_call > 1:
+                    # Multi-step dispatch: chunk the epoch's updates into
+                    # scan programs of S steps; the remainder chunk is padded
+                    # by resampling (same policy as the k-pad above).
+                    pad = (-len(updates)) % s_call
+                    for _ in range(pad):
+                        updates.append(rng.choice(len(train_bank), size=(k,)) if k > 1
+                                       else rng.integers(len(train_bank)))
+                    for c in range(0, len(updates), s_call):
+                        chunk = updates[c : c + s_call]
+                        idx = jnp.asarray(np.asarray(chunk, np.int32))  # (S,) | (S,k)
+                        starts = np.stack([starts_for(i) for i in chunk])
+                        key, sub = jax.random.split(key)
+                        state, losses, pcs, ncs = step(state, bank_dev, idx, jnp.asarray(starts), sub)
+                        tr_losses.extend(np.asarray(losses, np.float64).tolist())
+                        tr_pos.extend(np.asarray(pcs, np.float64).tolist())
+                        tr_neg.extend(np.asarray(ncs, np.float64).tolist())
+                else:
+                    for i in updates:
+                        starts = starts_for(i)
+                        idx = jnp.asarray(np.asarray(i, np.int32)) if np.ndim(i) > 0 else jnp.int32(i)
+                        key, sub = jax.random.split(key)
+                        state, loss, pc, nc = step(state, bank_dev, idx, jnp.asarray(starts), sub)
+                        tr_losses.append(float(loss)); tr_pos.append(float(pc)); tr_neg.append(float(nc))
             va_losses, va_pos, va_neg = [], [], []
             for vb in val_batches:
                 loss, pc, nc = eval_step(state, vb)

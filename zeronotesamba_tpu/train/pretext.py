@@ -183,7 +183,8 @@ def make_eval_step(cfg: PretextConfig):
     return step
 
 
-def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
+def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None,
+                           steps_per_call: int = 1, scan_unroll=False):
     """Train step over a DEVICE-RESIDENT bank: the (N, 2, 96, T) bank array
     stays in HBM and each step receives only (track_idx, starts) scalars —
     the reference's host-side shift cropping (pretext.py:307-318) becomes
@@ -264,6 +265,46 @@ def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
         return jnp.mean(losses), (jnp.mean(pcs), jnp.mean(ncs))
 
     if mesh is None:
+        if steps_per_call > 1:
+            # Multi-step dispatch (lax.scan over S optimizer steps in ONE
+            # executed program). The axon relay charges ~34 ms of fixed
+            # round-trip per execution (results/profile_train_step.json
+            # roundtrip_overhead_ms) — at B=16 that is the entire gap between
+            # the gross train MFU (0.48) and the on-chip MFU net of overhead
+            # (0.65). Scanning S steps per dispatch amortizes it to 34/S ms.
+            # Semantics: step s consumes (track_idx[s], starts[s]) and the
+            # dropout key fold_in(rng, s); the scan is numerically identical
+            # to S sequential single-step calls with those keys
+            # (tests/test_pretext_multistep.py). The reference has no
+            # analogue — its loop is one host-driven step per batch
+            # (pretext.py:255-321). Single-device only: under shard_map the
+            # scan-of-conv-grads blows up host-side XLA compile time on
+            # 1-core hosts (see multi_track_loss note).
+            #
+            # ``scan_unroll`` passes through to lax.scan. Default False (the
+            # rolled loop — the TPU-native form). XLA:CPU executes convs
+            # inside a rolled while-loop ~50x slower than straight-line code
+            # (measured: 52 s/step vs ~1 s at tiny shapes), so CPU tests pass
+            # unroll=True; numerics are unchanged either way.
+
+            @jax.jit
+            def step(state: TrainState, bank: jnp.ndarray, track_idx, starts, rng):
+                def body(st, xs):
+                    ti, srt, key = xs
+
+                    def loss_fn(p):
+                        return multi_track_loss(p, st.apply_fn, bank, ti, srt, key, None)
+
+                    (loss, (pc, nc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(st.params)
+                    return st.apply_gradients(grads=grads), (loss, pc, nc)
+
+                keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+                    jnp.arange(track_idx.shape[0]))
+                state, (losses, pcs, ncs) = jax.lax.scan(
+                    body, state, (track_idx, starts, keys), unroll=scan_unroll)
+                return state, losses, pcs, ncs
+
+            return step
 
         @jax.jit
         def step(state: TrainState, bank: jnp.ndarray, track_idx, starts, rng):
@@ -274,6 +315,11 @@ def make_staged_train_step(cfg: PretextConfig, mesh: Optional[Mesh] = None):
             return state.apply_gradients(grads=grads), loss, pc, nc
 
         return step
+
+    if steps_per_call > 1:
+        raise NotImplementedError(
+            "steps_per_call > 1 is single-device only: scan-of-grad inside "
+            "shard_map costs >30 CPU-min of XLA compile on 1-core hosts")
 
     def step(state: TrainState, bank: jnp.ndarray, track_idx, starts, rng):
         apply_fn = state.apply_fn
