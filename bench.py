@@ -106,14 +106,17 @@ def _device_pipeline(variant: str):
     from zeronotesamba_tpu.ops.pallas.vqt_kernel import log_xqt_pallas
 
     params_x = XQTParams()
-    dtype = jnp.bfloat16 if variant == "bf16" else jnp.float32
-    model = FusedDownstream(compute_dtype=dtype)
+    dtype = jnp.float32 if variant == "f32" else jnp.bfloat16
+    # bf16_s2d: conv2 via the exact frequency space-to-depth fold — the one
+    # heavy layer below 50% of MXU peak (models/encoder.fold_conv_freq2).
+    s2d = (1,) if variant == "bf16_s2d" else ()
+    model = FusedDownstream(compute_dtype=dtype, freq_s2d=s2d)
     # Fastest measured front-end (tools/bench_probe, batch 48 x 10 s): the
     # Pallas fused-cascade VQT at 32 ms vs 56 ms for the XLA path.
-    if variant == "bf16":
-        front = lambda s, p: log_xqt_pallas(s, p, fused_cascade=True)
-    else:
+    if variant == "f32":
         front = log_xqt
+    else:
+        front = lambda s, p: log_xqt_pallas(s, p, fused_cascade=True)
     t = N_FRAMES
     mparams = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 96, t, 1)), jnp.zeros((1, 96, t, 1)))
 
@@ -150,7 +153,8 @@ def bench_device(variant: str = "f32", n_iters: int = 8, warmup: int = 2) -> flo
 
 
 def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, crop: int = 313,
-                        dtype: str = "float32", steps_per_call: int = 1):
+                        dtype: str = "float32", steps_per_call: int = 1,
+                        freq_s2d: tuple = ()):
     """Pretext train-step throughput (SURVEY §6's 'pretext step time at batch
     16'): the staged fwd+bwd NT-Xent step on a device-resident bank.
     Dedup-proof: every timed step uses distinct (track_idx, starts) args.
@@ -169,7 +173,8 @@ def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, cro
         PretextConfig, dropout_key, init_pretext_state, make_staged_train_step, sample_shifts,
     )
 
-    cfg = PretextConfig(batch_size=batch, crop_frames=crop, compute_dtype=dtype)
+    cfg = PretextConfig(batch_size=batch, crop_frames=crop, compute_dtype=dtype,
+                        freq_s2d=freq_s2d)
     state = init_pretext_state(cfg, jax.random.PRNGKey(0))
     step = make_staged_train_step(cfg, steps_per_call=steps_per_call)
     bank_frames = 2 * crop
@@ -201,16 +206,22 @@ def bench_pretext_train(n_iters: int = 10, warmup: int = 3, batch: int = 16, cro
 
 
 def bench_supervised_train(n_iters: int = 10, warmup: int = 3, batch: int = 8, t_frames: int = 768,
-                           dtype: str = "float32"):
+                           dtype: str = "float32", steps_per_call: int = 1):
     """Supervised bucket-step throughput: donated masked-BCE train step on the
     fused twin model (train/supervised.train_step). A distinct VQT batch per
-    timed step keeps the relay from dedup-serving."""
+    timed step keeps the relay from dedup-serving. ``steps_per_call=K``
+    measures the multi-step dispatch (make_multistep_train_step: one lax.scan
+    program runs K optimizer steps, gathering rows from a device-resident
+    bucket per step — amortizes the ~34 ms relay round-trip to 34/K ms); the
+    reported ms is still per optimizer step."""
     import jax
     import jax.numpy as jnp
 
     from zeronotesamba_tpu.data.datasets import SongRecord
     from zeronotesamba_tpu.train.pretext import dropout_key
-    from zeronotesamba_tpu.train.supervised import SupervisedConfig, init_state, train_step
+    from zeronotesamba_tpu.train.supervised import (
+        SupervisedConfig, init_state, make_multistep_train_step, train_step,
+    )
 
     cfg = SupervisedConfig(status="pretrained", lr=1e-4, bucket_frames=t_frames, compute_dtype=dtype)
     example = SongRecord(
@@ -219,20 +230,41 @@ def bench_supervised_train(n_iters: int = 10, warmup: int = 3, batch: int = 8, t
         beat_times=np.zeros(1), downbeat_times=np.zeros(0),
     )
     state = init_state(cfg, example, jax.random.PRNGKey(0))
-    data_keys = jax.random.split(jax.random.PRNGKey(1), warmup + n_iters)
-    keys = jax.random.split(dropout_key(2), warmup + n_iters)  # engine-default rbg
-    vqts = [jax.random.normal(k, (batch, 2, 96, t_frames), dtype=np.float32) for k in data_keys]
-    jax.block_until_ready(vqts)
     pulse = jnp.zeros((batch, t_frames))
     mask = jnp.ones((batch, t_frames))
     times = []
-    for i in range(warmup + n_iters):
-        t0 = time.perf_counter()
-        state, loss, _ = train_step(state, vqts[i], pulse, mask, keys[i], "pretrained")
-        float(loss)
-        if i >= warmup:
-            times.append(time.perf_counter() - t0)
-    step_s = float(np.median(times))
+    if steps_per_call > 1:
+        # Device-resident bucket (the run_epoch layout); distinct (idx, keys)
+        # args per timed call keep the relay from dedup-serving.
+        n_rows = 4 * batch
+        vqt_bank = jax.random.normal(jax.random.PRNGKey(1), (n_rows, 2, 96, t_frames), dtype=np.float32)
+        pulse_bank = jnp.zeros((n_rows, t_frames))
+        mask_bank = jnp.ones((n_rows, t_frames))
+        jax.block_until_ready(vqt_bank)
+        mstep = make_multistep_train_step("pretrained", False)
+        base = dropout_key(2)
+        rng = np.random.default_rng(3)
+        for i in range(warmup + n_iters):
+            idx = jnp.asarray(rng.integers(0, n_rows, size=(steps_per_call, batch)).astype(np.int32))
+            offs = i * steps_per_call + jnp.arange(steps_per_call)
+            keys_k = jax.vmap(lambda o: jax.random.fold_in(base, o))(offs)
+            t0 = time.perf_counter()
+            state, losses, _ = mstep(state, vqt_bank, pulse_bank, mask_bank, idx, keys_k)
+            float(losses[-1])  # host read: forces real execution through the relay
+            if i >= warmup:
+                times.append(time.perf_counter() - t0)
+    else:
+        data_keys = jax.random.split(jax.random.PRNGKey(1), warmup + n_iters)
+        keys = jax.random.split(dropout_key(2), warmup + n_iters)  # engine-default rbg
+        vqts = [jax.random.normal(k, (batch, 2, 96, t_frames), dtype=np.float32) for k in data_keys]
+        jax.block_until_ready(vqts)
+        for i in range(warmup + n_iters):
+            t0 = time.perf_counter()
+            state, loss, _ = train_step(state, vqts[i], pulse, mask, keys[i], "pretrained")
+            float(loss)
+            if i >= warmup:
+                times.append(time.perf_counter() - t0)
+    step_s = float(np.median(times)) / steps_per_call
     flops = 3.0 * 2.0 * batch * encoder_fwd_flops(t_frames)
     return step_s * 1e3, flops / step_s / 1e12
 
@@ -455,11 +487,15 @@ def main():
     flops_clip = pipeline_flops_per_clip()
     out["flops_per_clip_g"] = round(flops_clip / 1e9, 1)
 
+    # MFU for every variant is reported against the ORIGINAL model's analytic
+    # FLOPs (useful work) — bf16_s2d executes ~1.4x FLOPs on conv2's zero
+    # taps, which counts as overhead, not throughput.
     results = {}
-    for variant in ("f32", "bf16"):
+    for variant in ("f32", "bf16", "bf16_s2d"):
         results[variant] = _stage(out, variant, lambda v=variant: bench_device(v))
-    if any(results.get(v) for v in ("f32", "bf16")):
-        best_variant = max((v for v in ("f32", "bf16") if results.get(v)), key=lambda v: results[v])
+    variants = ("f32", "bf16", "bf16_s2d")
+    if any(results.get(v) for v in variants):
+        best_variant = max((v for v in variants if results.get(v)), key=lambda v: results[v])
         tput = results[best_variant]
         clips_per_s = tput * 60.0 / CLIP_S
         tflops = flops_clip * clips_per_s / 1e12
@@ -469,10 +505,9 @@ def main():
             "tflops": round(tflops, 2),
             "mfu": round(tflops / peak, 4),
         })
-        if results.get("f32"):
-            out["f32_audio_min_s"] = round(results["f32"], 3)
-        if results.get("bf16"):
-            out["bf16_audio_min_s"] = round(results["bf16"], 3)
+        for v in variants:
+            if results.get(v):
+                out[f"{v}_audio_min_s"] = round(results[v], 3)
     cpu_tput = _stage(out, "cpu_baseline", bench_cpu_baseline)
     if cpu_tput:
         out["cpu_baseline_audio_min_s"] = round(cpu_tput, 3)
@@ -520,6 +555,18 @@ def main():
             "pretext_step_ms_b16_bf16_k8": round(pk_ms, 2),
             "pretext_train_mfu_bf16_k8": round(pk_tf / peak, 4),
         })
+    # Best-known-config rail: bf16 + 8-step dispatch + conv2 space-to-depth
+    # (models/encoder.fold_conv_freq2 — exact numerics, schedule only). MFU
+    # still counts the ORIGINAL model's useful FLOPs.
+    pbest = _stage(out, "pretext_train_best",
+                   lambda: bench_pretext_train(dtype="bfloat16", steps_per_call=8,
+                                               freq_s2d=(1,), n_iters=6, warmup=2))
+    if pbest:
+        pbest_ms, pbest_tf = pbest
+        out.update({
+            "pretext_step_ms_b16_best": round(pbest_ms, 2),
+            "pretext_train_mfu_best": round(pbest_tf / peak, 4),
+        })
     # Large-batch rail: batch 64 amortizes the fixed tunnel round-trip 4x
     # (the production configuration for reference-scale banks).
     pb64 = _stage(out, "pretext_train_bf16_b64", lambda: bench_pretext_train(batch=64, dtype="bfloat16", n_iters=6, warmup=2))
@@ -548,6 +595,18 @@ def main():
         })
         if mfu_net(sb_ms, sb_tf):
             out["supervised_train_mfu_bf16_net"] = mfu_net(sb_ms, sb_tf)
+    # Supervised multi-step dispatch rail (train/supervised
+    # .make_multistep_train_step; parity pinned by tests/test_train.py
+    # ::test_supervised_multistep_scan_matches_sequential).
+    sk = _stage(out, "supervised_train_bf16_k8",
+                lambda: bench_supervised_train(dtype="bfloat16", steps_per_call=8,
+                                               n_iters=6, warmup=2))
+    if sk:
+        sk_ms, sk_tf = sk
+        out.update({
+            "supervised_step_ms_b8x768_bf16_k8": round(sk_ms, 2),
+            "supervised_train_mfu_bf16_k8": round(sk_tf / peak, 4),
+        })
     lat = _stage(out, "infer_latency", bench_infer_latency)
     if lat:
         out["infer_latency_ms_1clip"] = round(lat, 2)

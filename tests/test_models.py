@@ -143,3 +143,32 @@ def test_torch_default_init_statistics():
     assert np.abs(w1).max() <= bound + 1e-7
     assert np.abs(w1).max() > bound * 0.9
     assert abs(np.mean(w1)) < 0.02
+
+
+def test_freq_s2d_conv_matches_unfolded(rng):
+    """fold_conv_freq2 == the plain SAME conv, same params: the space-to-depth
+    fold is a schedule change (128-wide MXU occupancy), never a model change.
+    Covers the production fold (conv2's 7x13) plus kh=3/5 and odd/even edge
+    interactions on random data, and the full Encoder with freq_s2d=(1,)."""
+    from zeronotesamba_tpu.models.encoder import Encoder, fold_conv_freq2
+
+    g = np.random.default_rng(11)
+    for kh, kw, cin, cout, hgt in [(7, 13, 64, 64, 96), (3, 5, 4, 8, 12), (5, 3, 2, 6, 8)]:
+        x = jnp.asarray(g.standard_normal((2, hgt, 9, cin)).astype(np.float32))
+        w = jnp.asarray(g.standard_normal((kh, kw, cin, cout)).astype(np.float32) * 0.1)
+        b = jnp.asarray(g.standard_normal((cout,)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+        got = fold_conv_freq2(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4)
+
+    x = jnp.asarray(rng.standard_normal((1, 96, 24, 1)).astype(np.float32))
+    plain = Encoder()
+    params = plain.init(jax.random.PRNGKey(0), x)
+    folded = Encoder(freq_s2d=(1,))
+    # Identical param trees: checkpoints are interchangeable across the flag.
+    assert jax.tree.structure(folded.init(jax.random.PRNGKey(0), x)) == jax.tree.structure(params)
+    np.testing.assert_allclose(
+        np.asarray(folded.apply(params, x)), np.asarray(plain.apply(params, x)),
+        atol=2e-4, rtol=1e-4)

@@ -216,6 +216,46 @@ def test_pretext_multistep_scan_matches_sequential():
     np.testing.assert_allclose(l1, l2, atol=1e-6)
 
 
+def test_supervised_multistep_scan_matches_sequential(tiny_ds):
+    """SupervisedConfig.steps_per_call=K (one dispatched scan program per K
+    full batches, train/supervised.make_multistep_train_step) == the per-step
+    path on the same plan: identical losses, metrics, and final params. The
+    scan only amortizes the relay round-trip — keys come from the original
+    plan index, so the two paths draw the same dropout masks. unroll=True for
+    the CPU backend (SupervisedConfig.scan_unroll note)."""
+    staged = StagedDataset(tiny_ds.records, 64)
+    plan = staged.plan(tiny_ds.names, 2)
+    assert len(plan) == 2 and all(len(rows) == 2 for _, rows in plan)
+
+    results = {}
+    for k in (1, 2):
+        cfg = SupervisedConfig(status="vanilla", lr=2e-4, batch_size=2, bucket_frames=64,
+                               steps_per_call=k, scan_unroll=True)
+        state = init_state(cfg, tiny_ds[0], jax.random.PRNGKey(0))
+        losses = []
+        for e in range(2):
+            state, loss, metrics = run_epoch(state, staged, plan, cfg, train=True, epoch=e, score=(e == 1))
+            losses.append(loss)
+        results[k] = (losses, metrics, np.asarray(jax.tree.leaves(state.params)[0]))
+
+    np.testing.assert_allclose(results[2][0], results[1][0], rtol=1e-5)
+    np.testing.assert_allclose(results[2][1], results[1][1], rtol=1e-6)
+    np.testing.assert_allclose(results[2][2], results[1][2], atol=1e-6)
+
+
+def test_supervised_multistep_ragged_tail(tiny_ds):
+    """A plan whose tail batch is smaller than batch_size still trains with
+    steps_per_call>1: the ragged tail falls back to the single step."""
+    staged = StagedDataset(tiny_ds.records, 64)
+    plan = staged.plan(tiny_ds.names[:3], 2)  # one full batch + one ragged
+    assert sorted(len(rows) for _, rows in plan) == [1, 2]
+    cfg = SupervisedConfig(status="vanilla", lr=2e-4, batch_size=2, bucket_frames=64,
+                           steps_per_call=2, scan_unroll=True)
+    state = init_state(cfg, tiny_ds[0], jax.random.PRNGKey(0))
+    state, loss, _ = run_epoch(state, staged, plan, cfg, train=True, epoch=0, score=False)
+    assert np.isfinite(loss)
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_ds):
     from zeronotesamba_tpu.train.checkpoint import CheckpointManager, load_params, save_params
 

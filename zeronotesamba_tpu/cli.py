@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--out", default=None, help="write results JSON here")
     t.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
                    help="conv compute dtype (bfloat16 = MXU mixed precision)")
+    t.add_argument("--steps-per-call", type=int, default=1,
+                   help="K optimizer steps per executed program (lax.scan; "
+                        "amortizes the relay round-trip, numerics identical)")
+    t.add_argument("--freq-s2d", action="store_true",
+                   help="compute conv2 via the exact frequency space-to-depth "
+                        "fold (full-MXU schedule; params/numerics unchanged)")
     _add_common(t)
 
     c = sub.add_parser("cross", help="cross-dataset experiment")
@@ -99,6 +105,9 @@ def build_parser() -> argparse.ArgumentParser:
                          "or zero-shot beat F1 on a labeled proxy set")
     pt.add_argument("--proxy-data", default=None,
                     help="npz dataset cache for --selection proxy_f1")
+    pt.add_argument("--freq-s2d", action="store_true",
+                    help="compute conv2 via the exact frequency space-to-depth "
+                         "fold (full-MXU schedule; params/numerics unchanged)")
     pt.add_argument("--steps-per-call", type=int, default=1,
                     help="dispatch S optimizer steps per executed program "
                          "(lax.scan; amortizes the relay round-trip; "
@@ -198,6 +207,8 @@ def main(argv=None):
             status=args.status, pre=args.pre, lr=args.lr, eval_method=args.eval,
             n_folds=args.folds, max_epochs=args.max_epochs, patience=args.patience,
             batch_size=args.batch_size, seed=args.seed, compute_dtype=args.dtype,
+            steps_per_call=args.steps_per_call,
+            freq_s2d=(1,) if args.freq_s2d else (),
         )
         params = _load_params(args.params)
         results = run_beat_experiment(ds, cfg, init_params=params)
@@ -259,7 +270,8 @@ def main(argv=None):
         cfg = PretextRunConfig(task=args.task, num_epochs=args.epochs, batch_size=args.batch_size,
                                seed=args.seed, checkpoint_path=args.checkpoint,
                                compute_dtype=args.dtype, selection=args.selection,
-                               proxy_dataset=proxy_ds, steps_per_call=args.steps_per_call)
+                               proxy_dataset=proxy_ds, steps_per_call=args.steps_per_call,
+                               freq_s2d=(1,) if args.freq_s2d else ())
         train_pretext(train_bank, val_bank, cfg, mesh=mesh)
 
     elif args.cmd == "train-separator":

@@ -54,6 +54,11 @@ class BeatExperimentConfig:
     return_params: bool = False  # keep each fold's best params on the result
     compute_dtype: str = "float32"  # float32 | bfloat16 mixed-precision convs
     # (train/supervised.SupervisedConfig.compute_dtype)
+    steps_per_call: int = 1  # >1 = K optimizer steps per executed program
+    # (train/supervised.make_multistep_train_step — amortizes the relay
+    # round-trip; numerics identical to the per-step path)
+    freq_s2d: tuple = ()  # conv indices via the exact space-to-depth fold
+    # (models/encoder.fold_conv_freq2); params/numerics unchanged
 
 
 @dataclasses.dataclass
@@ -93,6 +98,8 @@ def run_beat_experiment(
         dropout_seed=cfg.seed,
         pos_weight=cfg.pos_weight,
         compute_dtype=cfg.compute_dtype,
+        steps_per_call=cfg.steps_per_call,
+        freq_s2d=tuple(cfg.freq_s2d),
     )
 
     staged = StagedDataset(ds.records, cfg.bucket_frames)  # device-resident, once

@@ -53,6 +53,9 @@ class PretextRunConfig:
     scan_unroll: bool = False  # unroll the steps_per_call scan (CPU-test/
     # debug knob: XLA:CPU runs convs inside a rolled while-loop ~50x slower;
     # TPU keeps the rolled loop)
+    freq_s2d: tuple = ()  # conv indices computed via the exact frequency
+    # space-to-depth fold (models/encoder.fold_conv_freq2) — (1,) folds
+    # conv2; params and numerics unchanged, on-device schedule only
     seed: int = 0
     checkpoint_path: Optional[str] = None  # best-val params (reference
     # models/shift_pret_cnn_16.pth equivalent)
@@ -180,6 +183,7 @@ def train_pretext(
     pcfg = PretextConfig(
         task=cfg.task, batch_size=cfg.batch_size, crop_frames=cfg.crop_frames,
         temperature=cfg.temperature, lr=cfg.lr, compute_dtype=cfg.compute_dtype,
+        freq_s2d=tuple(cfg.freq_s2d),
     )
     state = init_pretext_state(pcfg, jax.random.PRNGKey(cfg.seed))
     s_call = max(1, int(cfg.steps_per_call)) if mesh is None else 1

@@ -65,6 +65,71 @@ def _torch_bias_init(fan_in: int):
     return init
 
 
+def fold_conv_freq2(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """SAME 2-D conv computed via frequency space-to-depth (fold factor 2).
+
+    Numerically EQUAL (up to float reassociation) to
+    ``conv_same(x, kernel) + bias`` for odd freq kernels and even freq extent:
+    two adjacent freq rows fold into channels ((B,H,T,C) -> (B,H/2,T,2C)), and
+    the (kh,kw,C,O) kernel is scattered into a zero-padded
+    (2*((kh//2+1)//2)+1, kw, 2C, 2O) folded kernel whose block
+    [p*C:(p+1)*C, q*O:(q+1)*O] at folded row offset dr holds original tap
+    dh = 2*dr + p - q (zero where |dh| > kh//2). Folded SAME zero-padding
+    covers exactly the rows the original SAME padding zeroed.
+
+    Why: the MXU is a 128x128 systolic array — a 64-channel conv (encoder
+    conv2, 7x13 64->64 @h96) leaves half the array idle (34.5% of peak,
+    results/profile_train_step.json per_conv_bwd). Folding doubles both
+    channel dims (128->full array) at the cost of the zero taps
+    (kh=7 -> kh2=5: 5/7 * 2 = 1.43x FLOPs), a large net win when the
+    unfolded layer runs below ~70% of peak. Same params, same outputs:
+    checkpoints are interchangeable with the unfolded path
+    (tests/test_models.py::test_freq_s2d_conv_matches_unfolded).
+    """
+    kh, kw, cin, cout = kernel.shape
+    b, h, t, c = x.shape
+    assert c == cin and kh % 2 == 1 and h % 2 == 0
+    hw = kh // 2
+    r = (hw + 1) // 2  # folded half-height
+    kh2 = 2 * r + 1
+    x2 = x.reshape(b, h // 2, 2, t, c).transpose(0, 1, 3, 2, 4).reshape(b, h // 2, t, 2 * c)
+    w2 = jnp.zeros((kh2, kw, 2 * cin, 2 * cout), kernel.dtype)
+    for dr in range(-r, r + 1):
+        for p in (0, 1):
+            for q in (0, 1):
+                dh = 2 * dr + p - q
+                if abs(dh) <= hw:
+                    w2 = w2.at[dr + r, :, p * cin:(p + 1) * cin, q * cout:(q + 1) * cout].set(
+                        kernel[dh + hw])
+    y2 = jax.lax.conv_general_dilated(
+        x2.astype(dtype), w2.astype(dtype), window_strides=(1, 1),
+        padding=((r, r), (kw // 2, kw // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # Unfold: folded channel q*cout+o at row rr is original row 2*rr+q.
+    y = y2.reshape(b, h // 2, t, 2, cout).transpose(0, 1, 3, 2, 4).reshape(b, h, t, cout)
+    return y + bias.astype(dtype)
+
+
+class _FreqS2DConv(nn.Module):
+    """Drop-in nn.Conv replacement running fold_conv_freq2; declares the SAME
+    param tree (kernel/bias, unfolded shapes) as the nn.Conv it replaces."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    kernel_init: Any
+    bias_init: Any
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        return fold_conv_freq2(x, kernel, bias, dtype=self.dtype)
+
+
 class Encoder(nn.Module):
     """The 8-conv trunk: (B, 96, T, 1) -> (B, T, 128).
 
@@ -81,6 +146,10 @@ class Encoder(nn.Module):
     input_mean: float = -6.0
     input_std: float = 5.0
     weight_init: str = "he"  # 'he' (trainable default) | 'torch' (reference parity)
+    freq_s2d: Tuple[int, ...] = ()  # 0-based conv indices computed via the
+    # exact frequency space-to-depth fold (fold_conv_freq2) — (1,) folds
+    # conv2, the one sub-50%-of-peak heavy layer. Params and outputs are
+    # unchanged; only the on-device schedule differs.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -98,15 +167,21 @@ class Encoder(nn.Module):
                 k_init, b_init = _torch_conv_kernel_init, _torch_bias_init(fan_in)
             else:
                 k_init, b_init = nn.initializers.he_normal(), nn.initializers.zeros_init()
-            h = nn.Conv(
-                features=cout,
-                kernel_size=kern,
-                padding="SAME",
-                kernel_init=k_init,
-                bias_init=b_init,
-                dtype=self.compute_dtype,
-                name=f"conv{i + 1}",
-            )(h)
+            if i in self.freq_s2d and h.shape[1] % 2 == 0 and kern[0] % 2 == 1:
+                h = _FreqS2DConv(
+                    features=cout, kernel_size=kern, kernel_init=k_init,
+                    bias_init=b_init, dtype=self.compute_dtype, name=f"conv{i + 1}",
+                )(h)
+            else:
+                h = nn.Conv(
+                    features=cout,
+                    kernel_size=kern,
+                    padding="SAME",
+                    kernel_init=k_init,
+                    bias_init=b_init,
+                    dtype=self.compute_dtype,
+                    name=f"conv{i + 1}",
+                )(h)
             if i in POOL_AFTER:
                 w = POOL_AFTER[i]
                 h = nn.max_pool(h, window_shape=(w, 1), strides=(w, 1))
@@ -146,9 +221,11 @@ class DSCNN(nn.Module):
     dropout_rate: float = 0.1
     compute_dtype: Any = jnp.float32
     weight_init: str = "he"
+    freq_s2d: Tuple[int, ...] = ()
 
     def setup(self):
-        self.encoder = Encoder(self.dropout_rate, self.compute_dtype, weight_init=self.weight_init)
+        self.encoder = Encoder(self.dropout_rate, self.compute_dtype,
+                               weight_init=self.weight_init, freq_s2d=self.freq_s2d)
         self.head = BeatHead()
 
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -167,10 +244,13 @@ class TwinPretext(nn.Module):
     dropout_rate: float = 0.1
     compute_dtype: Any = jnp.float32
     weight_init: str = "he"
+    freq_s2d: Tuple[int, ...] = ()
 
     def setup(self):
-        self.anchor = DSCNN(self.dropout_rate, self.compute_dtype, weight_init=self.weight_init)
-        self.postve = DSCNN(self.dropout_rate, self.compute_dtype, weight_init=self.weight_init)
+        self.anchor = DSCNN(self.dropout_rate, self.compute_dtype,
+                            weight_init=self.weight_init, freq_s2d=self.freq_s2d)
+        self.postve = DSCNN(self.dropout_rate, self.compute_dtype,
+                            weight_init=self.weight_init, freq_s2d=self.freq_s2d)
 
     def __call__(self, anc, pos, *, train: bool = False):
         return self.anchor(anc, train=train), self.postve(pos, train=train)
@@ -186,9 +266,11 @@ class FusedDownstream(nn.Module):
     dropout_rate: float = 0.1
     compute_dtype: Any = jnp.float32
     weight_init: str = "he"
+    freq_s2d: Tuple[int, ...] = ()
 
     def setup(self):
-        self.pretext = TwinPretext(self.dropout_rate, self.compute_dtype, weight_init=self.weight_init)
+        self.pretext = TwinPretext(self.dropout_rate, self.compute_dtype,
+                                   weight_init=self.weight_init, freq_s2d=self.freq_s2d)
 
     def __call__(self, anc, pos, *, train: bool = False):
         anc_emb, pos_emb = self.pretext(anc, pos, train=train)

@@ -44,6 +44,10 @@ class PretextConfig:
     # "bfloat16" roughly halves the train-step time; loss-trajectory parity
     # vs float32 is pinned by tests/test_bf16_training.py.
     compute_dtype: str = "float32"  # float32 | bfloat16
+    freq_s2d: Tuple[int, ...] = ()  # conv indices computed via the exact
+    # frequency space-to-depth fold (models/encoder.fold_conv_freq2) — (1,)
+    # folds conv2, the one heavy layer below 50% of MXU peak. Params and
+    # numerics unchanged (checkpoints interchangeable); schedule only.
 
 
 def dropout_key(seed: int, impl: str = "rbg") -> jax.Array:
@@ -73,13 +77,15 @@ def resolve_dtype(name) -> jnp.dtype:
         raise ValueError(f"unknown compute_dtype {name!r} (float32|bfloat16)") from None
 
 
-def make_pretext_model(task: str, dropout_rate: float = 0.1, compute_dtype="float32"):
+def make_pretext_model(task: str, dropout_rate: float = 0.1, compute_dtype="float32",
+                       freq_s2d: Tuple[int, ...] = ()):
     dt = resolve_dtype(compute_dtype)
-    return TwinPretext(dropout_rate, dt) if task == "zerons" else DSCNN(dropout_rate, dt)
+    cls = TwinPretext if task == "zerons" else DSCNN
+    return cls(dropout_rate, dt, freq_s2d=tuple(freq_s2d))
 
 
 def init_pretext_state(cfg: PretextConfig, rng: jax.Array) -> TrainState:
-    model = make_pretext_model(cfg.task, cfg.dropout_rate, cfg.compute_dtype)
+    model = make_pretext_model(cfg.task, cfg.dropout_rate, cfg.compute_dtype, cfg.freq_s2d)
     x = jnp.zeros((1, 96, cfg.crop_frames, 1))
     # jit(init): eager init dispatches each conv as its own TPU program
     # (~100s through the axon relay); one jitted program is seconds.
